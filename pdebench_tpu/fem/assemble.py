@@ -1,0 +1,262 @@
+"""Quadrature-batched FEM assembly as dense cell-local tensors.
+
+TPU-first design: instead of scattering into a global sparse matrix (the
+PETSc/deal.II approach of the reference), we keep assembly *regular*:
+
+  - geometry factors  (n_cells, nq, ...)   — batched Jacobians
+  - local matrices    (n_cells, nl, nl)    — one einsum, MXU-friendly
+  - operator apply    gather -> batched matvec -> segment-sum scatter
+
+The local-matrix batch IS the sparse matrix; applying it is a gather +
+(n_cells, nl, nl) x (n_cells, nl) contraction + segment_sum, all of which
+XLA fuses and tiles. A COO export exists for the host sparse-direct
+fallback (scipy splu), mirroring the reference's UMFPACK/MUMPS paths.
+
+Parity: replaces UFL/FFCx form compilation + PETSc matrix assembly
+(reference: pdebench/oracle/poisson.py:75-97 weak forms via
+dolfinx.fem.petsc.LinearProblem; dealii programs/poisson.cc:125-170
+cell-loop assembly).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import refelem
+from .mesh import Mesh
+from .spaces import FunctionSpace
+
+
+# ---------------------------------------------------------------------------
+# Geometry factors
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CellBatch:
+    """Static tabulation + per-cell geometry, ready for batched assembly.
+
+    Shapes: nq quadrature points, nl local basis fns, d spatial dim.
+    For affine cells (simplices) the per-q geometry axis has extent 1 and
+    broadcasts.
+    """
+
+    cell_type: str
+    degree: int
+    phi: jnp.ndarray  # (nq, nl)
+    dphi: jnp.ndarray  # (nq, nl, d)
+    qw: jnp.ndarray  # (nq,)
+    qpts: jnp.ndarray  # (n_cells, nq, d) physical quadrature points
+    invJ: jnp.ndarray  # (n_cells, nq|1, d, d); matrix inverse of J, so
+    #                      dxi_k/dx_d = invJ[..., d, k]
+    detJ: jnp.ndarray  # (n_cells, nq|1) |det J|
+
+    @property
+    def n_cells(self) -> int:
+        return self.qpts.shape[0]
+
+    @property
+    def wdetJ(self) -> jnp.ndarray:  # (n_cells, nq)
+        return self.qw[None, :] * jnp.broadcast_to(
+            self.detJ, (self.qpts.shape[0], self.qw.shape[0])
+        )
+
+    def grad_phys(self) -> jnp.ndarray:
+        """Physical basis gradients (n_cells, nq, nl, d)."""
+        return jnp.einsum("qik,cqdk->cqid", self.dphi, self.invJ)
+
+
+def _det_inv(J: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched explicit det/inverse for 1x1/2x2/3x3 trailing dims.
+
+    Avoids LU-based linalg on device (TPU-hostile for tiny matrices)."""
+    d = J.shape[-1]
+    if d == 1:
+        det = J[..., 0, 0]
+        inv = 1.0 / det[..., None, None]
+        return det, inv
+    if d == 2:
+        a, b = J[..., 0, 0], J[..., 0, 1]
+        c, e = J[..., 1, 0], J[..., 1, 1]
+        det = a * e - b * c
+        inv = (
+            jnp.stack(
+                [jnp.stack([e, -b], -1), jnp.stack([-c, a], -1)], -2
+            )
+            / det[..., None, None]
+        )
+        return det, inv
+    if d == 3:
+        m = J
+        c00 = m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1]
+        c01 = m[..., 1, 2] * m[..., 2, 0] - m[..., 1, 0] * m[..., 2, 2]
+        c02 = m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0]
+        det = m[..., 0, 0] * c00 + m[..., 0, 1] * c01 + m[..., 0, 2] * c02
+        c10 = m[..., 0, 2] * m[..., 2, 1] - m[..., 0, 1] * m[..., 2, 2]
+        c11 = m[..., 0, 0] * m[..., 2, 2] - m[..., 0, 2] * m[..., 2, 0]
+        c12 = m[..., 0, 1] * m[..., 2, 0] - m[..., 0, 0] * m[..., 2, 1]
+        c20 = m[..., 0, 1] * m[..., 1, 2] - m[..., 0, 2] * m[..., 1, 1]
+        c21 = m[..., 0, 2] * m[..., 1, 0] - m[..., 0, 0] * m[..., 1, 2]
+        c22 = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
+        inv = (
+            jnp.stack(
+                [
+                    jnp.stack([c00, c10, c20], -1),
+                    jnp.stack([c01, c11, c21], -1),
+                    jnp.stack([c02, c12, c22], -1),
+                ],
+                -2,
+            )
+            / det[..., None, None]
+        )
+        return det, inv
+    raise ValueError(f"unsupported dim {d}")
+
+
+def cell_batch(mesh: Mesh, degree: int, qdegree: Optional[int] = None) -> CellBatch:
+    """Build geometry factors for a mesh/element/quadrature combination."""
+    if qdegree is None:
+        qdegree = 2 * degree + 2
+    t = refelem.element_tables(mesh.cell_type, degree, qdegree)
+    verts = jnp.asarray(mesh.coords[mesh.cells])  # (c, nv, d)
+    gphi = jnp.asarray(t.geom_phi)
+    gdphi = jnp.asarray(t.geom_dphi)
+    qpts = jnp.einsum("qv,cvd->cqd", gphi, verts)
+    if refelem.is_simplex(mesh.cell_type):
+        # affine: evaluate Jacobian at a single point
+        J = jnp.einsum("vk,cvd->ckd", gdphi[0], verts)[:, None]  # (c,1,k,d)
+    else:
+        J = jnp.einsum("qvk,cvd->cqkd", gdphi, verts)
+    det, invJ = _det_inv(J)
+    detJ = jnp.abs(det)
+    return CellBatch(
+        cell_type=mesh.cell_type,
+        degree=degree,
+        phi=jnp.asarray(t.phi),
+        dphi=jnp.asarray(t.dphi),
+        qw=jnp.asarray(t.qweights),
+        qpts=qpts,
+        invJ=invJ,
+        detJ=detJ,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local (cell-batched) weak-form kernels — each one einsum
+# ---------------------------------------------------------------------------
+
+
+def local_stiffness(cb: CellBatch, coef_q: Optional[jnp.ndarray] = None):
+    """∫ coef ∇u·∇v : (n_cells, nl, nl)."""
+    w = cb.wdetJ if coef_q is None else cb.wdetJ * coef_q
+    g = cb.grad_phys()
+    return jnp.einsum("cqid,cqjd,cq->cij", g, g, w)
+
+
+def local_mass(cb: CellBatch, coef_q: Optional[jnp.ndarray] = None):
+    """∫ coef u v."""
+    w = cb.wdetJ if coef_q is None else cb.wdetJ * coef_q
+    return jnp.einsum("qi,qj,cq->cij", cb.phi, cb.phi, w)
+
+
+def local_advection(cb: CellBatch, beta_q: jnp.ndarray):
+    """∫ (β·∇u) v with β (n_cells, nq, d). Row index = test fn v."""
+    g = cb.grad_phys()
+    return jnp.einsum("qi,cqjd,cqd,cq->cij", cb.phi, g, beta_q, cb.wdetJ)
+
+
+def local_load(cb: CellBatch, f_q: jnp.ndarray):
+    """∫ f v : (n_cells, nl)."""
+    return jnp.einsum("qi,cq->ci", cb.phi, cb.wdetJ * f_q)
+
+
+# ---------------------------------------------------------------------------
+# Matrix-free global operator
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("ndof",))
+def scatter_add(cell_vals: jnp.ndarray, dofmap: jnp.ndarray, ndof: int):
+    """(n_cells, nl) local contributions -> (ndof,) global vector."""
+    return jax.ops.segment_sum(
+        cell_vals.reshape(-1), dofmap.reshape(-1).astype(jnp.int32), ndof
+    )
+
+
+class LocalOperator:
+    """Global linear operator stored as cell-local dense matrices.
+
+    apply:  y = scatter( A_c @ u[dofmap_c] )   — the TPU "SpMV".
+    """
+
+    def __init__(self, A_local: jnp.ndarray, dofmap: np.ndarray, ndof: int):
+        self.A = A_local  # (n_cells, nl, nl)
+        self.dofmap = jnp.asarray(dofmap, dtype=jnp.int32)
+        self.ndof = int(ndof)
+
+    def __call__(self, u: jnp.ndarray) -> jnp.ndarray:
+        ue = u[self.dofmap]  # (c, nl)
+        ve = jnp.einsum("cij,cj->ci", self.A, ue)
+        return scatter_add(ve, self.dofmap, self.ndof)
+
+    def diagonal(self) -> jnp.ndarray:
+        d = jnp.einsum("cii->ci", self.A)
+        return scatter_add(d, self.dofmap, self.ndof)
+
+    def to_scipy(self):
+        """COO -> CSR on host, for the sparse-direct fallback."""
+        import scipy.sparse as sps
+
+        nl = self.A.shape[1]
+        dm = np.asarray(self.dofmap)
+        rows = np.repeat(dm, nl, axis=1).reshape(-1)
+        cols = np.tile(dm, (1, nl)).reshape(-1)
+        vals = np.asarray(self.A).reshape(-1)
+        return sps.coo_matrix(
+            (vals, (rows, cols)), shape=(self.ndof, self.ndof)
+        ).tocsr()
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet boundary conditions (symmetric elimination, matrix-free)
+# ---------------------------------------------------------------------------
+
+
+def bc_mask_values(
+    ndof: int, dofs: np.ndarray, values: np.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    mask = np.zeros(ndof, dtype=bool)
+    vals = np.zeros(ndof)
+    mask[dofs] = True
+    vals[dofs] = values
+    return jnp.asarray(mask), jnp.asarray(vals)
+
+
+def constrained_operator(apply_A: Callable, mask: jnp.ndarray) -> Callable:
+    """A with Dirichlet rows/cols replaced by identity (keeps SPD)."""
+
+    def op(v):
+        vz = jnp.where(mask, 0.0, v)
+        y = apply_A(vz)
+        return jnp.where(mask, v, y)
+
+    return op
+
+
+def constrained_rhs(
+    apply_A: Callable, b: jnp.ndarray, mask: jnp.ndarray, g: jnp.ndarray
+) -> jnp.ndarray:
+    """b - A g on free dofs; g on constrained dofs."""
+    gz = jnp.where(mask, g, 0.0)
+    r = b - apply_A(gz)
+    return jnp.where(mask, g, r)
+
+
+def constrained_diag(diag: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(mask, 1.0, diag)

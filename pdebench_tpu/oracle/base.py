@@ -1,0 +1,236 @@
+"""Shared oracle machinery: spec -> mesh/space/coefficients/BCs/sampling.
+
+Each per-PDE solver module composes these pieces; this module owns the
+case-spec conventions (reference: pdebench/oracle/common.py — mesh factory
+:21-167, BC helpers :198-221, kappa fields :285-301, exact-grid eval
+:575-704) re-expressed for the array-native core.
+
+Timing policy: `baseline_time` is the wall-clock of the warm compute path
+(host setup + device execute + grid sampling), measured after one warm-up
+execution so XLA compilation is excluded. The cold (compile-included)
+time is reported alongside in solver_info["t_cold"]. Rationale: the
+reference's baseline_time (oracle/poisson.py:39,161) is a steady-state
+CPU number with no JIT; compile time is a one-off artifact of the XLA
+execution model, and the benchmark gate multiplies baseline_time by 3.
+Set PDEBENCH_TPU_COLD_TIMING=1 to gate on cold times instead.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from ..fem import mesh as meshmod
+from ..fem import sampling, symbolic
+from ..fem.mesh import Mesh
+from ..fem.spaces import FunctionSpace
+from .types import OracleResult, compute_rel_L2_grid
+
+ExprLike = symbolic.ExprLike
+
+
+# ---------------------------------------------------------------------------
+# Mesh factory
+# ---------------------------------------------------------------------------
+
+
+def build_mesh(domain_spec: Dict[str, Any], mesh_spec: Dict[str, Any]) -> Mesh:
+    """Mesh a case domain (reference: common.py:21-167 create_mesh)."""
+    resolution = int(mesh_spec.get("resolution", 16))
+    domain_type = domain_spec["type"]
+    cell_type = mesh_spec.get("cell_type", "triangle")
+
+    if domain_type == "unit_square":
+        ct = "quadrilateral" if cell_type == "quadrilateral" else "triangle"
+        return meshmod.unit_square_mesh(resolution, ct)
+    if domain_type == "unit_cube":
+        return meshmod.unit_cube_mesh(resolution)
+    if domain_type == "periodic_square":
+        params = domain_spec.get("geometry_params", {})
+        b = params.get("bounds", params.get("extents", [0.0, 1.0, 0.0, 1.0]))
+        x0, x1, y0, y1 = [float(v) for v in b]
+        # keep cells near-isotropic on non-square extents
+        nx = resolution
+        ny = max(int(round(resolution * (y1 - y0) / max(x1 - x0, 1e-300))), 1)
+        m = meshmod.rectangle_mesh(nx, ny, (x0, x1, y0, y1), "triangle")
+        m.periodic = (x0, x1, y0, y1)
+        return m
+
+    # complex 2-D geometries via the signed-distance mesher
+    from ..fem import geometry
+
+    char_length = 1.0 / float(resolution)
+    return geometry.mesh_domain(domain_type, domain_spec, char_length)
+
+
+# ---------------------------------------------------------------------------
+# Coefficients & expressions
+# ---------------------------------------------------------------------------
+
+
+def coefficient_fn(
+    spec: Optional[Dict[str, Any]], dim: int, default: float = 1.0
+) -> Callable[[np.ndarray], np.ndarray]:
+    """kappa-style coefficient: constant or expression of x[, y, z].
+
+    Returns a traceable fn(points (..., dim)) -> (...,). Reference:
+    common.py:285-301 create_kappa_field (we evaluate at quadrature points
+    directly rather than projecting to DG0).
+    """
+    if spec is None:
+        spec = {"type": "constant", "value": default}
+    if spec.get("type") == "constant":
+        val = float(spec.get("value", default))
+        import jax.numpy as jnp
+
+        return lambda pts: jnp.full(pts.shape[:-1], val, dtype=pts.dtype)
+    if spec.get("type") == "expr":
+        return symbolic.lambdify_spatial(spec["expr"], dim)
+    raise ValueError(f"unknown coefficient spec {spec}")
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet boundary conditions
+# ---------------------------------------------------------------------------
+
+
+def dirichlet_dofs_values(
+    space: FunctionSpace,
+    bc_spec: Dict[str, Any],
+    t: Optional[float] = None,
+) -> Tuple[np.ndarray, np.ndarray, Optional[Callable]]:
+    """Resolve a case's Dirichlet spec to (blocked dofs, values, value_fn(t)).
+
+    Handles 'on': 'all' | side | list of {on, value} segments, and scalar
+    or vector (list) value expressions. value_fn is returned for
+    time-dependent BCs: value_fn(t) -> values at the same dofs.
+    Reference: common.py:198-221, oracle/stokes.py:40-127 selector DSL.
+    """
+    d = bc_spec.get("dirichlet")
+    if d is None:
+        return np.zeros(0, dtype=np.int64), np.zeros(0), None
+
+    segments: List[Dict[str, Any]]
+    if isinstance(d, list):
+        segments = d
+    else:
+        on = d.get("on", "all")
+        if isinstance(on, list):
+            segments = [{"on": o, "value": d.get("value", 0.0)} for o in on]
+        else:
+            segments = [d]
+
+    ncomp = space.ncomp
+    dim = space.mesh.dim
+    all_dofs: List[np.ndarray] = []
+    fns: List[Tuple[np.ndarray, List[Callable], bool]] = []
+    any_time = False
+
+    for seg in segments:
+        on = seg.get("on", "all")
+        sdofs = space.boundary_dofs_on(on)
+        value = seg.get("value", 0.0)
+        exprs = value if isinstance(value, (list, tuple)) else [value] * ncomp
+        if len(exprs) != ncomp:
+            raise ValueError(f"BC value arity {len(exprs)} != ncomp {ncomp}")
+        seg_time = any(symbolic.depends_on_t(e) for e in exprs)
+        any_time = any_time or seg_time
+        comp_fns = [
+            symbolic.lambdify_numpy(e, dim, with_time=True) for e in exprs
+        ]
+        fns.append((sdofs, comp_fns, seg_time))
+        blocked = (sdofs[:, None] * ncomp + np.arange(ncomp)[None, :]).reshape(-1)
+        all_dofs.append(blocked)
+
+    dofs = np.concatenate(all_dofs) if all_dofs else np.zeros(0, dtype=np.int64)
+
+    def value_fn(tv: float) -> np.ndarray:
+        out = []
+        for sdofs, comp_fns, _ in fns:
+            pts = space.dof_coords[sdofs]
+            vals = np.stack([f(pts, tv) for f in comp_fns], axis=1)  # (n, ncomp)
+            out.append(vals.reshape(-1))
+        return np.concatenate(out) if out else np.zeros(0)
+
+    t0 = 0.0 if t is None else float(t)
+    values = value_fn(t0)
+    # dedupe (corner dofs may appear in several segments; last wins is fine,
+    # but keep unique for mask construction)
+    uniq, first = np.unique(dofs, return_index=True)
+    return uniq, values[first], (value_fn if any_time else None)
+
+
+# ---------------------------------------------------------------------------
+# Exact solutions & baseline error
+# ---------------------------------------------------------------------------
+
+
+def exact_grid_scalar(
+    expr: ExprLike,
+    grid: Dict[str, Any],
+    mask_from: Optional[np.ndarray] = None,
+    t: Optional[float] = None,
+) -> np.ndarray:
+    """Analytic (machine-precision) exact solution on the output grid.
+
+    Reference: common.py:575-624 — exact grids are evaluated symbolically,
+    NOT FEM-interpolated; the FEM solve's domain mask is then applied.
+    """
+    pts, shape = sampling.grid_points(grid)
+    dim = pts.shape[1]
+    fn = symbolic.lambdify_numpy(expr, dim, with_time=t is not None)
+    vals = fn(pts, t) if t is not None else fn(pts)
+    out = vals.reshape(shape)
+    if mask_from is not None:
+        out = np.where(np.isnan(mask_from), np.nan, out)
+    return out
+
+
+def exact_grid_vector_magnitude(
+    exprs: Sequence[ExprLike],
+    grid: Dict[str, Any],
+    mask_from: Optional[np.ndarray] = None,
+    t: Optional[float] = None,
+) -> np.ndarray:
+    pts, shape = sampling.grid_points(grid)
+    dim = pts.shape[1]
+    comps = []
+    for e in exprs:
+        fn = symbolic.lambdify_numpy(e, dim, with_time=t is not None)
+        comps.append(fn(pts, t) if t is not None else fn(pts))
+    mag = np.linalg.norm(np.stack(comps, axis=1), axis=1).reshape(shape)
+    if mask_from is not None:
+        mag = np.where(np.isnan(mask_from), np.nan, mag)
+    return mag
+
+
+# ---------------------------------------------------------------------------
+# Timing
+# ---------------------------------------------------------------------------
+
+_COLD = os.environ.get("PDEBENCH_TPU_COLD_TIMING", "0") == "1"
+
+
+def timed_run(run: Callable[[], Any]) -> Tuple[Any, float, float]:
+    """Execute `run` with warm timing: returns (result, t_warm, t_cold)."""
+    t0 = time.perf_counter()
+    result = run()
+    t_cold = time.perf_counter() - t0
+    if _COLD:
+        return result, t_cold, t_cold
+    t1 = time.perf_counter()
+    result = run()
+    t_warm = time.perf_counter() - t1
+    return result, t_warm, t_cold
+
+
+def solver_opts(config: Dict[str, Any]) -> Dict[str, Any]:
+    o = dict(config.get("oracle_solver", {}))
+    o.setdefault("ksp_type", "cg")
+    o.setdefault("pc_type", "jacobi")
+    o.setdefault("rtol", 1e-10)
+    o.setdefault("atol", 1e-14)
+    return o

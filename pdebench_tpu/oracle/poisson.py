@@ -1,0 +1,85 @@
+"""Poisson oracle: -div(kappa grad u) = f with Dirichlet BCs.
+
+TPU pipeline: structured/SDF mesh -> quadrature-batched stiffness einsum
+-> jitted PCG(+Jacobi) -> vectorized grid sampling. Baseline error is the
+rel-L2 of the FEM grid against the analytically-evaluated manufactured
+solution, or against a finer reference_config re-solve for non-MMS cases.
+
+Parity: pdebench/oracle/poisson.py:34-169 (PoissonSolver).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem import symbolic
+from ..fem.assemble import LocalOperator, local_stiffness
+from ..solvers.dispatch import solve_linear
+from . import base, scalar
+from .types import OracleResult, compute_rel_L2_grid
+
+
+class PoissonSolver:
+    def solve(
+        self, config: Dict[str, Any], _compute_baseline: bool = True
+    ) -> OracleResult:
+        ctx = scalar.setup_scalar(config)
+        pde = config["pde"]
+        dim = ctx.dim
+        kappa = base.coefficient_fn(
+            pde.get("coefficients", {}).get("kappa"), dim
+        )
+
+        src = pde.get("source_term")
+        if src is None and pde.get("manufactured_solution"):
+            kspec = pde.get("coefficients", {}).get("kappa", {})
+            kexpr = kspec.get("expr", kspec.get("value", 1.0))
+            src = symbolic.poisson_source(
+                pde["manufactured_solution"]["u"], kexpr, dim
+            )
+        f_fn = symbolic.lambdify_spatial(src if src is not None else 0.0, dim)
+        opts = base.solver_opts(config)
+
+        def run():
+            kq = kappa(ctx.qpts())
+            K = local_stiffness(ctx.cb, kq)
+            op = LocalOperator(K, ctx.space.dofmap_scalar, ctx.space.ndof)
+            b = ctx.load_vector(f_fn(ctx.qpts()))
+            x, info = solve_linear(op, b, ctx.mask, ctx.g, opts)
+            grid = ctx.sample(x)
+            return grid, info
+
+        (fem_grid, info), t_warm, t_cold = base.timed_run(run)
+        baseline_time = ctx.t_setup + t_warm
+
+        baseline_error = 1e-2
+        if _compute_baseline:
+            err = scalar.mms_baseline_error(config, fem_grid)
+            if err is None and "reference_config" in config:
+                ref = self.solve(
+                    scalar.merge_reference_config(config),
+                    _compute_baseline=False,
+                )
+                err = compute_rel_L2_grid(fem_grid, ref.reference)
+            baseline_error = err if err is not None else 1e-2
+
+        solver_info = {
+            "library": "pdebench_tpu",
+            "pde": "poisson",
+            "mesh_resolution": int(config.get("mesh", {}).get("resolution", 0)),
+            "element_degree": ctx.space.degree,
+            "num_cells": ctx.mesh.n_cells,
+            "t_setup": ctx.t_setup,
+            "t_cold": t_cold,
+            **info,
+        }
+        return OracleResult(
+            baseline_error=float(baseline_error),
+            baseline_time=float(baseline_time),
+            reference=fem_grid,
+            solver_info=solver_info,
+            num_dofs=ctx.space.ndof,
+        )

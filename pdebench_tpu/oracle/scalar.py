@@ -1,0 +1,129 @@
+"""Shared scaffold for scalar-field oracle solvers.
+
+A `ScalarContext` bundles everything every scalar PDE solver needs: the
+mesh, space, quadrature batch, Dirichlet data, output-grid point location
+and the exact-solution hooks. Per-PDE modules only assemble their weak
+form and drive the solve.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem import sampling, symbolic
+from ..fem.assemble import CellBatch, bc_mask_values, cell_batch, local_load, scatter_add
+from ..fem.mesh import Mesh
+from ..fem.spaces import FunctionSpace
+from . import base
+from .types import OracleResult, compute_rel_L2_grid
+
+
+@dataclass
+class ScalarContext:
+    config: Dict[str, Any]
+    mesh: Mesh
+    space: FunctionSpace
+    cb: CellBatch
+    grid: Dict[str, Any]
+    loc: sampling.PointLocation
+    bc_dofs: np.ndarray
+    bc_values: np.ndarray
+    bc_value_fn: Optional[Callable]  # fn(t) for time-dependent BCs
+    mask: jnp.ndarray
+    g: jnp.ndarray
+    t_setup: float
+
+    @property
+    def dim(self) -> int:
+        return self.mesh.dim
+
+    def qpts(self) -> jnp.ndarray:
+        return self.cb.qpts
+
+    def load_vector(self, f_q: jnp.ndarray) -> jnp.ndarray:
+        return scatter_add(
+            local_load(self.cb, f_q),
+            jnp.asarray(self.space.dofmap_scalar),
+            self.space.ndof,
+        )
+
+    def sample(self, u: np.ndarray) -> np.ndarray:
+        return sampling.sample_on_grid(self.space, u, self.grid, loc=self.loc)
+
+    def update_bc_values(self, t: float) -> None:
+        if self.bc_value_fn is not None:
+            vals = self.bc_value_fn(t)
+            g = np.asarray(self.g).copy()
+            g[self.bc_dofs] = vals
+            self.g = jnp.asarray(g)
+
+
+def setup_scalar(config: Dict[str, Any], t0: Optional[float] = None) -> ScalarContext:
+    t_start = time.perf_counter()
+    mesh = base.build_mesh(config["domain"], config.get("mesh", {}))
+    degree = int(config.get("fem", {}).get("degree", 1))
+    space = FunctionSpace(mesh, degree)
+    cb = cell_batch(mesh, degree)
+    grid = config["output"]["grid"]
+    pts, _ = sampling.grid_points(grid)
+    loc = sampling.locate_points(mesh, pts)
+    bc_dofs, bc_values, bc_fn = base.dirichlet_dofs_values(
+        space, config.get("bc", {}), t=t0
+    )
+    mask, g = bc_mask_values(space.ndof, bc_dofs, bc_values)
+    return ScalarContext(
+        config=config,
+        mesh=mesh,
+        space=space,
+        cb=cb,
+        grid=grid,
+        loc=loc,
+        bc_dofs=bc_dofs,
+        bc_values=bc_values,
+        bc_value_fn=bc_fn,
+        mask=mask,
+        g=g,
+        t_setup=time.perf_counter() - t_start,
+    )
+
+
+def mms_baseline_error(
+    config: Dict[str, Any],
+    fem_grid: np.ndarray,
+    t_end: Optional[float] = None,
+) -> Optional[float]:
+    """rel-L2 vs the analytically-evaluated manufactured solution."""
+    mms = config.get("pde", {}).get("manufactured_solution")
+    if not mms or "u" not in mms:
+        return None
+    u = mms["u"]
+    if isinstance(u, (list, tuple)):
+        exact = base.exact_grid_vector_magnitude(
+            u, config["output"]["grid"], mask_from=fem_grid, t=t_end
+        )
+    else:
+        exact = base.exact_grid_scalar(
+            u, config["output"]["grid"], mask_from=fem_grid, t=t_end
+        )
+    return compute_rel_L2_grid(fem_grid, exact)
+
+
+def merge_reference_config(config: Dict[str, Any]) -> Dict[str, Any]:
+    """Overlay a case's reference_config for the finer re-solve
+    (reference: oracle/poisson.py:125-158)."""
+    import copy
+
+    ref = config.get("reference_config", {})
+    out = copy.deepcopy(config)
+    out.pop("reference_config", None)
+    for key, val in ref.items():
+        if isinstance(val, dict) and isinstance(out.get(key), dict):
+            out[key].update(val)
+        else:
+            out[key] = val
+    return out

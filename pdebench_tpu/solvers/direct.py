@@ -1,0 +1,46 @@
+"""Host sparse-direct fallback (scipy SuperLU).
+
+TPUs have no sparse LU; the reference leans on UMFPACK/MUMPS for
+saddle-point and `preonly/lu` cases (reference: dealii stokes.cc:338-369,
+oracle/stokes.py:253-257). We mirror that capability with a host-side
+factorization reached from the normal numpy path (oracle solves
+orchestrate on host; only the iterative hot loops live on device).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sps
+import scipy.sparse.linalg as spla
+
+
+def solve_direct_constrained(
+    A: sps.spmatrix,
+    b: np.ndarray,
+    mask: Optional[np.ndarray] = None,
+    g: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Solve A x = b with Dirichlet dofs (mask) pinned to values g.
+
+    Eliminates constrained dofs symmetrically: A_ff x_f = b_f - A_fg g.
+    """
+    A = A.tocsr()
+    n = A.shape[0]
+    if mask is None:
+        return spla.splu(A.tocsc()).solve(np.asarray(b))
+    mask = np.asarray(mask, dtype=bool)
+    g = np.zeros(n) if g is None else np.asarray(g, dtype=np.float64)
+    free = np.nonzero(~mask)[0]
+    fixed = np.nonzero(mask)[0]
+    A_ff = A[free][:, free].tocsc()
+    rhs = np.asarray(b)[free] - A[free][:, fixed] @ g[fixed]
+    x = np.array(g, dtype=np.float64)
+    x[free] = spla.splu(A_ff).solve(rhs)
+    return x
+
+
+def lu_factorization(A_ff: sps.spmatrix):
+    """Cache-friendly handle for repeated solves (transient problems)."""
+    return spla.splu(A_ff.tocsc())

@@ -1,0 +1,142 @@
+"""Linear-solve dispatch: per-case ksp/pc options -> device Krylov or host LU.
+
+Maps the reference's PETSc solver configs (oracle_solver.ksp_type /
+pc_type / rtol / atol per case; reference: oracle/poisson.py:91-97,
+oracle/oracle.py dispatch) onto the TPU-native stack:
+
+  cg / minres (SPD)    -> jitted PCG + Jacobi on device
+  gmres / bicgstab     -> jitted GMRES(m) + Jacobi on device
+  preonly / lu / mumps -> host scipy SuperLU (reference used UMFPACK/MUMPS)
+
+Any unconverged iterative solve falls back to the host direct path, so
+every case completes (the robustness-override role of
+dealii_oracle/oracle.py:503-529).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.assemble import (
+    LocalOperator,
+    constrained_diag,
+    constrained_operator,
+    constrained_rhs,
+    scatter_add,
+)
+from . import direct as directmod
+from .krylov import bicgstab, cg, gmres, jacobi_preconditioner
+
+
+def _apply_local(A_local, dofmap, ndof, v):
+    ve = jnp.einsum("cij,cj->ci", A_local, v[dofmap])
+    return scatter_add(ve, dofmap, ndof)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("ndof", "method", "rtol", "atol", "maxiter", "restart"),
+)
+def _iterative(
+    A_local,
+    dofmap,
+    b,
+    mask,
+    g,
+    ndof: int,
+    method: str,
+    rtol: float,
+    atol: float,
+    maxiter: int,
+    restart: int = 60,
+):
+    raw = lambda v: _apply_local(A_local, dofmap, ndof, v)
+    A = constrained_operator(raw, mask)
+    rhs = constrained_rhs(raw, b, mask, g)
+    diag = jnp.einsum("cii->ci", A_local)
+    diag = scatter_add(diag, dofmap, ndof)
+    M = jacobi_preconditioner(constrained_diag(diag, mask))
+    x0 = jnp.where(mask, g, 0.0)
+    if method == "cg":
+        x, info = cg(A, rhs, x0=x0, M=M, rtol=rtol, atol=atol, maxiter=maxiter)
+    elif method == "bicgstab":
+        x, info = bicgstab(
+            A, rhs, x0=x0, M=M, rtol=rtol, atol=atol, maxiter=maxiter
+        )
+    else:
+        x, info = gmres(
+            A,
+            rhs,
+            x0=x0,
+            M=M,
+            rtol=rtol,
+            atol=atol,
+            maxiter=maxiter,
+            restart=restart,
+        )
+    return x, info.iterations, info.residual, info.converged
+
+
+_DIRECT_KSP = ("preonly",)
+_DIRECT_PC = ("lu", "cholesky", "mumps")
+
+
+def solve_linear(
+    op: LocalOperator,
+    b: jnp.ndarray,
+    mask: jnp.ndarray,
+    g: jnp.ndarray,
+    opts: Dict[str, Any],
+    symmetric: bool = True,
+) -> Tuple[np.ndarray, Dict[str, Any]]:
+    """Solve (constrained) op x = b per case solver options."""
+    ksp = str(opts.get("ksp_type", "cg")).lower()
+    pc = str(opts.get("pc_type", "jacobi")).lower()
+    rtol = float(opts.get("rtol", 1e-10))
+    atol = float(opts.get("atol", 1e-14))
+    maxiter = int(opts.get("max_it", opts.get("maxiter", 25000)))
+
+    use_direct = ksp in _DIRECT_KSP or pc in _DIRECT_PC
+    info: Dict[str, Any] = {"ksp_type": ksp, "pc_type": pc, "rtol": rtol}
+
+    if not use_direct:
+        if ksp in ("cg", "minres") and symmetric:
+            method = "cg"
+        elif ksp == "bicgstab":
+            method = "bicgstab"
+        else:
+            method = "gmres"
+        x, iters, res, conv = _iterative(
+            op.A,
+            op.dofmap,
+            b,
+            mask,
+            g,
+            ndof=op.ndof,
+            method=method,
+            rtol=rtol,
+            atol=atol,
+            maxiter=maxiter,
+        )
+        if bool(conv):
+            info.update(
+                method=method, iterations=int(iters), residual=float(res)
+            )
+            return np.asarray(x), info
+        info["iterative_failed"] = {
+            "method": method,
+            "iterations": int(iters),
+            "residual": float(res),
+        }
+
+    # host sparse-direct path (or fallback)
+    x = directmod.solve_direct_constrained(
+        op.to_scipy(), np.asarray(b), np.asarray(mask), np.asarray(g)
+    )
+    info.update(method="lu", iterations=1)
+    return x, info

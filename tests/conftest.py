@@ -1,0 +1,24 @@
+"""Test env: force CPU with 8 virtual devices so multi-chip sharding paths
+are exercised without TPU hardware.
+
+Note: this image pre-imports jax via a sitecustomize hook (the TPU tunnel
+plugin), so JAX_PLATFORMS in the environment is not sufficient — the
+platform must be overridden through jax.config before any computation.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    assert jax.devices()[0].platform == "cpu"
+    assert len(jax.devices()) == 8, jax.devices()

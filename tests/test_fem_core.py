@@ -1,0 +1,218 @@
+"""Unit tests for the FEM core: quadrature, meshes, dof maps, assembly."""
+
+import math
+
+import numpy as np
+import pytest
+
+from pdebench_tpu.fem import assemble, mesh as meshmod, refelem, sampling, spaces
+
+
+class TestQuadrature:
+    @pytest.mark.parametrize("qd", [1, 2, 3, 4, 6, 8])
+    def test_triangle_monomial_exactness(self, qd):
+        pts, w = refelem.quadrature("triangle", qd)
+        for a in range(qd + 1):
+            for b in range(qd + 1 - a):
+                exact = (
+                    math.factorial(a)
+                    * math.factorial(b)
+                    / math.factorial(a + b + 2)
+                )
+                approx = np.sum(w * pts[:, 0] ** a * pts[:, 1] ** b)
+                assert abs(approx - exact) < 1e-12
+
+    @pytest.mark.parametrize("qd", [2, 4, 6])
+    def test_tet_monomial_exactness(self, qd):
+        pts, w = refelem.quadrature("tetrahedron", qd)
+        for a in range(qd + 1):
+            for b in range(qd + 1 - a):
+                for c in range(qd + 1 - a - b):
+                    exact = (
+                        math.factorial(a)
+                        * math.factorial(b)
+                        * math.factorial(c)
+                        / math.factorial(a + b + c + 3)
+                    )
+                    approx = np.sum(
+                        w * pts[:, 0] ** a * pts[:, 1] ** b * pts[:, 2] ** c
+                    )
+                    assert abs(approx - exact) < 1e-12
+
+    def test_quad_rule(self):
+        pts, w = refelem.quadrature("quadrilateral", 4)
+        assert abs(np.sum(w) - 1.0) < 1e-14
+        assert abs(np.sum(w * pts[:, 0] ** 4) - 0.2) < 1e-14
+
+
+class TestBasis:
+    @pytest.mark.parametrize(
+        "ct,p",
+        [
+            ("triangle", 1), ("triangle", 2), ("triangle", 3), ("triangle", 4),
+            ("tetrahedron", 1), ("tetrahedron", 2),
+            ("quadrilateral", 1), ("quadrilateral", 2),
+        ],
+    )
+    def test_nodal_and_partition_of_unity(self, ct, p):
+        layout = refelem.lagrange_layout(ct, p)
+        phi, dphi = refelem.tabulate(ct, p, layout.points)
+        assert np.allclose(phi, np.eye(layout.n_nodes), atol=1e-10)
+        rng = np.random.default_rng(0)
+        pts = rng.random((7, refelem.cell_dim(ct))) * 0.3
+        phi, dphi = refelem.tabulate(ct, p, pts)
+        assert np.allclose(phi.sum(axis=1), 1.0, atol=1e-12)
+        assert np.allclose(dphi.sum(axis=1), 0.0, atol=1e-10)
+
+
+class TestMesh:
+    def test_unit_square_counts(self):
+        m = meshmod.unit_square_mesh(4)
+        assert m.n_vertices == 25
+        assert m.n_cells == 32
+        assert abs(m.cell_volumes().sum() - 1.0) < 1e-14
+
+    def test_unit_cube_counts(self):
+        m = meshmod.unit_cube_mesh(3)
+        assert m.n_vertices == 64
+        assert m.n_cells == 6 * 27
+        assert abs(m.cell_volumes().sum() - 1.0) < 1e-13
+
+    def test_boundary_vertices_square(self):
+        m = meshmod.unit_square_mesh(4)
+        bv = m.boundary_vertices()
+        assert len(bv) == 16
+        on_bdy = np.any(
+            (np.abs(m.coords[bv]) < 1e-14) | (np.abs(m.coords[bv] - 1) < 1e-14),
+            axis=1,
+        )
+        assert on_bdy.all()
+
+
+class TestSpaces:
+    @pytest.mark.parametrize("p,exp", [(1, 25), (2, 81), (3, 169)])
+    def test_p_dof_counts_square(self, p, exp):
+        # structured n=4 square: (pn+1)^2 dofs for Pp
+        m = meshmod.unit_square_mesh(4)
+        V = spaces.FunctionSpace(m, p)
+        assert V.n_scalar_dofs == exp
+
+    def test_p2_cube_dof_count(self):
+        m = meshmod.unit_cube_mesh(2)
+        V = spaces.FunctionSpace(m, 2)
+        assert V.n_scalar_dofs == 125  # (2n+1)^3
+
+    def test_dof_coords_interpolation(self):
+        # nodal interpolation of a P2 polynomial must be exact
+        m = meshmod.unit_square_mesh(3)
+        V = spaces.FunctionSpace(m, 2)
+        f = lambda x: 2 * x[:, 0] ** 2 - x[:, 0] * x[:, 1] + 3 * x[:, 1]
+        u = f(V.dof_coords)
+        pts = np.random.default_rng(1).random((50, 2))
+        loc = sampling.locate_points(m, pts)
+        assert loc.found.all()
+        vals = sampling.eval_function(V, u, loc)
+        assert np.allclose(vals, f(pts), atol=1e-12)
+
+    def test_boundary_dofs_sides(self):
+        m = meshmod.unit_square_mesh(4)
+        V = spaces.FunctionSpace(m, 2)
+        all_b = V.boundary_dofs_on("all")
+        assert len(all_b) == 4 * (2 * 4)  # 32 boundary nodes for P2, n=4
+        x0 = V.boundary_dofs_on("x0")
+        assert np.allclose(V.dof_coords[x0, 0], 0.0)
+        assert len(x0) == 9
+
+    def test_periodic_identification(self):
+        m = meshmod.rectangle_mesh(4, 4, (0, 1, 0, 1))
+        m.periodic = (0.0, 1.0, 0.0, 1.0)
+        V = spaces.FunctionSpace(m, 1)
+        assert V.n_scalar_dofs == 16  # 4x4 torus
+
+    def test_vector_space_blocked(self):
+        m = meshmod.unit_square_mesh(2)
+        V = spaces.vector_space(m, 1)
+        assert V.ndof == 2 * V.n_scalar_dofs
+        assert V.dofmap.shape == (m.n_cells, 6)
+
+
+class TestAssembly:
+    def test_stiffness_vs_dense_reference(self):
+        """P1 stiffness on one reference triangle has a known closed form."""
+        m = meshmod.Mesh(
+            "triangle",
+            np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]]),
+            np.array([[0, 1, 2]], dtype=np.int32),
+        )
+        cb = assemble.cell_batch(m, 1)
+        K = np.asarray(assemble.local_stiffness(cb))[0]
+        K_exact = 0.5 * np.array(
+            [[2.0, -1.0, -1.0], [-1.0, 1.0, 0.0], [-1.0, 0.0, 1.0]]
+        )
+        assert np.allclose(K, K_exact, atol=1e-13)
+
+    def test_mass_matrix_total(self):
+        m = meshmod.unit_square_mesh(5)
+        cb = assemble.cell_batch(m, 2)
+        V = spaces.FunctionSpace(m, 2)
+        M = assemble.local_mass(cb)
+        ones = np.ones(V.ndof)
+        op = assemble.LocalOperator(M, V.dofmap_scalar, V.ndof)
+        total = float(np.sum(np.asarray(op(ones))))
+        assert abs(total - 1.0) < 1e-12  # integral of 1 over unit square
+
+    def test_operator_matches_scipy(self):
+        m = meshmod.unit_square_mesh(4)
+        V = spaces.FunctionSpace(m, 1)
+        cb = assemble.cell_batch(m, 1)
+        K = assemble.local_stiffness(cb)
+        op = assemble.LocalOperator(K, V.dofmap_scalar, V.ndof)
+        A = op.to_scipy()
+        rng = np.random.default_rng(2)
+        v = rng.random(V.ndof)
+        assert np.allclose(np.asarray(op(v)), A @ v, atol=1e-12)
+
+    def test_quadrilateral_stiffness(self):
+        m = meshmod.unit_square_mesh(4, cell_type="quadrilateral")
+        V = spaces.FunctionSpace(m, 1)
+        cb = assemble.cell_batch(m, 1)
+        K = assemble.local_stiffness(cb)
+        op = assemble.LocalOperator(K, V.dofmap_scalar, V.ndof)
+        # stiffness applied to a linear function = 0 in interior rows
+        u = V.dof_coords[:, 0] + 2 * V.dof_coords[:, 1]
+        y = np.asarray(op(u))
+        interior = np.setdiff1d(
+            np.arange(V.ndof), V.boundary_scalar_dofs
+        )
+        assert np.allclose(y[interior], 0.0, atol=1e-12)
+
+
+class TestSampling:
+    def test_grid_conventions_2d(self):
+        m = meshmod.unit_square_mesh(8)
+        V = spaces.FunctionSpace(m, 1)
+        u = V.dof_coords[:, 0]  # u(x, y) = x
+        grid = {"bbox": [0, 1, 0, 1], "nx": 5, "ny": 3}
+        out = sampling.sample_on_grid(V, u, grid)
+        assert out.shape == (3, 5)
+        # result[j, i] = u(x_i, y_j) = x_i
+        assert np.allclose(out[0], np.linspace(0, 1, 5), atol=1e-12)
+        assert np.allclose(out[:, 2], 0.5, atol=1e-12)
+
+    def test_out_of_domain_nan(self):
+        m = meshmod.unit_square_mesh(4)
+        V = spaces.FunctionSpace(m, 1)
+        u = np.ones(V.ndof)
+        grid = {"bbox": [-1, 2, -1, 2], "nx": 7, "ny": 7}
+        out = sampling.sample_on_grid(V, u, grid)
+        assert np.isnan(out[0, 0])
+        assert np.isfinite(out[3, 3])
+
+    def test_3d_grid_shape(self):
+        m = meshmod.unit_cube_mesh(4)
+        V = spaces.FunctionSpace(m, 1)
+        u = V.dof_coords[:, 2]  # u = z
+        grid = {"bbox": [0, 1, 0, 1, 0, 1], "nx": 4, "ny": 5, "nz": 6}
+        out = sampling.sample_on_grid(V, u, grid)
+        assert out.shape == (6, 5, 4)
+        assert np.allclose(out[:, 0, 0], np.linspace(0, 1, 6), atol=1e-12)
