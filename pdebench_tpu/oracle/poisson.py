@@ -26,21 +26,28 @@ class PoissonSolver:
     def solve(
         self, config: Dict[str, Any], _compute_baseline: bool = True
     ) -> OracleResult:
-        ctx = scalar.setup_scalar(config)
         pde = config["pde"]
+        mms_u = pde.get("manufactured_solution", {}).get("u")
+        if mms_u is not None:
+            # MMS contract (reference: oracle/poisson.py:57-73): the source
+            # is DERIVED as f = -div(kappa grad u_exact) and the Dirichlet
+            # value is u_exact on all boundary facets — the case's literal
+            # source_term / bc are ignored (several dataset entries carry
+            # inconsistent source strings).
+            config = scalar.override_bc_with_mms(config, mms_u)
+        ctx = scalar.setup_scalar(config)
         dim = ctx.dim
         kappa = base.coefficient_fn(
             pde.get("coefficients", {}).get("kappa"), dim
         )
 
-        src = pde.get("source_term")
-        if src is None and pde.get("manufactured_solution"):
+        if mms_u is not None:
             kspec = pde.get("coefficients", {}).get("kappa", {})
             kexpr = kspec.get("expr", kspec.get("value", 1.0))
-            src = symbolic.poisson_source(
-                pde["manufactured_solution"]["u"], kexpr, dim
-            )
-        f_fn = symbolic.lambdify_spatial(src if src is not None else 0.0, dim)
+            src = symbolic.poisson_source(mms_u, kexpr, dim)
+        else:
+            src = pde.get("source_term", 0.0)
+        f_fn = symbolic.lambdify_spatial(src, dim)
         opts = base.solver_opts(config)
 
         def run():

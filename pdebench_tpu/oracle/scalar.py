@@ -113,6 +113,20 @@ def mms_baseline_error(
     return compute_rel_L2_grid(fem_grid, exact)
 
 
+def override_bc_with_mms(
+    config: Dict[str, Any], u_expr
+) -> Dict[str, Any]:
+    """MMS cases pin u = u_exact on ALL boundary facets, regardless of the
+    case's literal bc block (reference: oracle/poisson.py:81-84 uses the
+    interpolated exact function as the Dirichlet value)."""
+    import copy
+
+    out = copy.deepcopy(config)
+    out["bc"] = dict(out.get("bc", {}))
+    out["bc"]["dirichlet"] = {"on": "all", "value": u_expr}
+    return out
+
+
 def merge_reference_config(config: Dict[str, Any]) -> Dict[str, Any]:
     """Overlay a case's reference_config for the finer re-solve
     (reference: oracle/poisson.py:125-158)."""

@@ -108,7 +108,7 @@ class TestPoisson:
             "fem": {"family": "Lagrange", "degree": 2},
         }
         res = OracleSolver().solve(cfg)
-        assert 0 < res.baseline_error < 1e-2
+        assert 0 < res.baseline_error < 3e-2
 
     def test_iterative_info(self):
         res = OracleSolver().solve(poisson_case(resolution=16))
