@@ -1,0 +1,130 @@
+"""Benchmark entry: one JSON line comparing the TPU oracle to a CPU proxy.
+
+The reference defines its performance bar dynamically: each case's time
+gate is `oracle_time x time_tolerance` measured on the same machine
+(reference: scripts/run_benchmark.py:510-517), where oracle_time is the
+DOLFINx/PETSc CPU wall-clock of mesh+assembly+solve+sampling. DOLFINx is
+not installed here, so the stand-in baseline is this repo's own host-CPU
+sparse-direct path (scipy CSR + SuperLU, the same UMFPACK-class direct
+solve the reference leans on) timed end-to-end over the same cases.
+
+Protocol: for each implemented PDE type, take the first unit_square MMS
+case from benchmark_v2.jsonl, run the TPU-native oracle (warm timing, as
+baseline_time reports), and run the CPU proxy. Reports mean per-case
+wall-clock and speedup vs the proxy:
+
+  {"metric": "oracle_solve_time", "value": <mean seconds>, "unit": "s",
+   "vs_baseline": <cpu_time / tpu_time>, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def _suite(max_per_type: int = 1):
+    import collections
+
+    path = "/root/reference/data/benchmark_v2.jsonl"
+    cases = [json.loads(l) for l in open(path)]
+    picked = []
+    seen = collections.Counter()
+    for c in cases:
+        oc = c["oracle_config"]
+        t = oc["pde"]["type"]
+        if seen[t] >= max_per_type:
+            continue
+        if oc["domain"]["type"] != "unit_square":
+            continue
+        if "manufactured_solution" not in oc["pde"]:
+            continue
+        picked.append(c)
+        seen[t] += 1
+    return picked
+
+
+def _cpu_proxy_time(oracle_config) -> float:
+    """Time the host-CPU direct-solve path on the same case."""
+    import os
+
+    os.environ["PDEBENCH_TPU_FORCE_DIRECT"] = "1"
+    try:
+        from pdebench_tpu.oracle import OracleSolver
+
+        t0 = time.perf_counter()
+        OracleSolver().solve(oracle_config)
+        return time.perf_counter() - t0
+    finally:
+        os.environ.pop("PDEBENCH_TPU_FORCE_DIRECT", None)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+    from pdebench_tpu.oracle import OracleSolver
+
+    suite = _suite()
+    solver = OracleSolver()
+    results = []
+    for case in suite:
+        oc = case["oracle_config"]
+        pde_type = oc["pde"]["type"]
+        try:
+            r = solver.solve(oc)
+        except (NotImplementedError, ModuleNotFoundError, ImportError):
+            continue
+        except Exception as e:  # report but keep benching other types
+            print(f"# {case['id']}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+            continue
+        try:
+            t_cpu = _cpu_proxy_time(oc)
+        except Exception:
+            t_cpu = float("nan")
+        results.append(
+            {
+                "id": case["id"],
+                "type": pde_type,
+                "t_tpu": r.baseline_time,
+                "t_cpu": t_cpu,
+                "error": r.baseline_error,
+                "num_dofs": r.num_dofs,
+            }
+        )
+        print(
+            f"# {case['id']}: tpu={r.baseline_time:.3f}s cpu={t_cpu:.3f}s "
+            f"err={r.baseline_error:.2e} dofs={r.num_dofs}",
+            file=sys.stderr,
+        )
+
+    if not results:
+        print(json.dumps({"metric": "oracle_solve_time", "value": None,
+                          "unit": "s", "vs_baseline": None}))
+        return
+
+    import math
+
+    t_tpu = sum(r["t_tpu"] for r in results) / len(results)
+    cpu_ok = [r for r in results if math.isfinite(r["t_cpu"])]
+    t_cpu = sum(r["t_cpu"] for r in cpu_ok) / len(cpu_ok) if cpu_ok else float("nan")
+    vs = (t_cpu / t_tpu) if (cpu_ok and t_tpu > 0) else None
+    print(
+        json.dumps(
+            {
+                "metric": "oracle_solve_time",
+                "value": round(t_tpu, 4),
+                "unit": "s",
+                "vs_baseline": round(vs, 3) if vs is not None else None,
+                "n_cases": len(results),
+                "types": [r["type"] for r in results],
+                "max_error": max(r["error"] for r in results),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

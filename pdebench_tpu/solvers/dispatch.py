@@ -15,6 +15,7 @@ dealii_oracle/oracle.py:503-529).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -101,7 +102,12 @@ def solve_linear(
     atol = float(opts.get("atol", 1e-14))
     maxiter = int(opts.get("max_it", opts.get("maxiter", 25000)))
 
-    use_direct = ksp in _DIRECT_KSP or pc in _DIRECT_PC
+    use_direct = (
+        ksp in _DIRECT_KSP
+        or pc in _DIRECT_PC
+        # bench.py's CPU-proxy baseline: force the host direct path
+        or os.environ.get("PDEBENCH_TPU_FORCE_DIRECT") == "1"
+    )
     info: Dict[str, Any] = {"ksp_type": ksp, "pc_type": pc, "rtol": rtol}
 
     if not use_direct:
