@@ -51,6 +51,7 @@ class CellBatch:
     degree: int
     phi: jnp.ndarray  # (nq, nl)
     dphi: jnp.ndarray  # (nq, nl, d)
+    d2phi: jnp.ndarray  # (nq, nl, d, d) reference hessians
     qw: jnp.ndarray  # (nq,)
     qpts: jnp.ndarray  # (n_cells, nq, d) physical quadrature points
     invJ: jnp.ndarray  # (n_cells, nq|1, d, d); matrix inverse of J, so
@@ -70,6 +71,16 @@ class CellBatch:
     def grad_phys(self) -> jnp.ndarray:
         """Physical basis gradients (n_cells, nq, nl, d)."""
         return jnp.einsum("qik,cqdk->cqid", self.dphi, self.invJ)
+
+    def laplace_phys(self) -> jnp.ndarray:
+        """Physical basis Laplacians (n_cells, nq, nl).
+
+        Exact for affine cell maps (simplices, axis-aligned rectangles):
+        d2phi/dx_a dx_b = invJ[a,k] invJ[b,l] d2phi/dxi_k dxi_l.
+        """
+        return jnp.einsum(
+            "qikl,cqak,cqal->cqi", self.d2phi, self.invJ, self.invJ
+        )
 
 
 def _det_inv(J: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -140,6 +151,7 @@ def cell_batch(mesh: Mesh, degree: int, qdegree: Optional[int] = None) -> CellBa
         degree=degree,
         phi=jnp.asarray(t.phi),
         dphi=jnp.asarray(t.dphi),
+        d2phi=jnp.asarray(t.d2phi),
         qw=jnp.asarray(t.qweights),
         qpts=qpts,
         invJ=invJ,
@@ -174,6 +186,36 @@ def local_advection(cb: CellBatch, beta_q: jnp.ndarray):
 def local_load(cb: CellBatch, f_q: jnp.ndarray):
     """∫ f v : (n_cells, nl)."""
     return jnp.einsum("qi,cq->ci", cb.phi, cb.wdetJ * f_q)
+
+
+def local_supg(
+    cb: CellBatch,
+    beta_q: jnp.ndarray,
+    tau_c: jnp.ndarray,
+    epsilon: float,
+):
+    """SUPG stabilization ∫ tau (β·∇v)(β·∇u - ε Δu) : (n_cells, nl, nl).
+
+    beta_q: (n_cells, nq, d); tau_c: (n_cells,) cell-wise tau. Reference:
+    pdebench/oracle/convection_diffusion.py:85-94 (tau = α h / (2|β|)).
+    """
+    g = cb.grad_phys()
+    bg = jnp.einsum("cqid,cqd->cqi", g, beta_q)  # β·∇φ
+    w = cb.wdetJ * tau_c[:, None]
+    out = jnp.einsum("cqi,cqj,cq->cij", bg, bg, w)
+    if epsilon != 0.0:
+        lap = cb.laplace_phys()
+        out = out - epsilon * jnp.einsum("cqi,cqj,cq->cij", bg, lap, w)
+    return out
+
+
+def local_supg_load(
+    cb: CellBatch, beta_q: jnp.ndarray, tau_c: jnp.ndarray, f_q: jnp.ndarray
+):
+    """SUPG rhs term ∫ tau (β·∇v) f : (n_cells, nl)."""
+    g = cb.grad_phys()
+    bg = jnp.einsum("cqid,cqd->cqi", g, beta_q)
+    return jnp.einsum("cqi,cq->ci", bg, cb.wdetJ * tau_c[:, None] * f_q)
 
 
 # ---------------------------------------------------------------------------

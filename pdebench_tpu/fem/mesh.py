@@ -64,6 +64,12 @@ class Mesh:
             return np.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
         raise ValueError(self.cell_type)
 
+    def cell_diameters(self) -> np.ndarray:
+        """Max vertex-pair distance per cell (UFL CellDiameter semantics)."""
+        v = self.coords[self.cells]  # (C, nv, d)
+        d = np.linalg.norm(v[:, :, None, :] - v[:, None, :, :], axis=-1)
+        return d.reshape(self.n_cells, -1).max(axis=1)
+
     # ---- topology -------------------------------------------------------
 
     def facets(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -256,6 +256,40 @@ def tabulate(
     return phi, dphi
 
 
+def _eval_monomial_hess(exps, points: np.ndarray) -> np.ndarray:
+    """Second derivatives of monomials: (npts, nmono, dim, dim)."""
+    pts = np.asarray(points, dtype=np.float64)
+    npts, dim = pts.shape
+    nm = len(exps)
+    hess = np.zeros((npts, nm, dim, dim))
+    for j, e in enumerate(exps):
+        for a in range(dim):
+            for b in range(dim):
+                g = np.ones(npts)
+                ok = True
+                for d in range(dim):
+                    order = (d == a) + (d == b)
+                    if e[d] < order:
+                        ok = False
+                        break
+                    coef = 1.0
+                    for k in range(order):
+                        coef *= e[d] - k
+                    g *= coef * pts[:, d] ** (e[d] - order)
+                hess[:, j, a, b] = g if ok else 0.0
+    return hess
+
+
+def tabulate_hess(
+    cell_type: str, degree: int, points: np.ndarray
+) -> np.ndarray:
+    """Reference-coordinate basis hessians: (npts, nbasis, dim, dim)."""
+    exps = _monomial_exponents(cell_type, degree)
+    C = _basis_coeffs(cell_type, degree)
+    H = _eval_monomial_hess(exps, np.atleast_2d(points))
+    return np.einsum("qjab,ji->qiab", H, C)
+
+
 # ---------------------------------------------------------------------------
 # Quadrature
 # ---------------------------------------------------------------------------
@@ -333,6 +367,7 @@ class ElementTables:
     qweights: np.ndarray  # (nq,)
     phi: np.ndarray  # (nq, n_basis)
     dphi: np.ndarray  # (nq, n_basis, dim)
+    d2phi: np.ndarray  # (nq, n_basis, dim, dim) reference hessians
     # geometry (P1/Q1) tabulation at the same points, for the coordinate map
     geom_phi: np.ndarray  # (nq, n_verts)
     geom_dphi: np.ndarray  # (nq, n_verts, dim)
@@ -342,5 +377,8 @@ class ElementTables:
 def element_tables(cell_type: str, degree: int, qdegree: int) -> ElementTables:
     qp, qw = quadrature(cell_type, qdegree)
     phi, dphi = tabulate(cell_type, degree, qp)
+    d2phi = tabulate_hess(cell_type, degree, qp)
     gphi, gdphi = tabulate(cell_type, 1, qp)
-    return ElementTables(cell_type, degree, qdegree, qp, qw, phi, dphi, gphi, gdphi)
+    return ElementTables(
+        cell_type, degree, qdegree, qp, qw, phi, dphi, d2phi, gphi, gdphi
+    )

@@ -163,6 +163,98 @@ def dirichlet_dofs_values(
     return uniq, values[first], (value_fn if any_time else None)
 
 
+def dirichlet_traceable(
+    space: FunctionSpace, bc_spec: Dict[str, Any]
+) -> Tuple[np.ndarray, Callable]:
+    """Traceable time-dependent Dirichlet values for scan-based time loops.
+
+    Returns (bc_dofs (blocked, unique), g_fn) where g_fn(t) -> (ndof,)
+    jnp vector with boundary values written at bc_dofs (zeros elsewhere);
+    `t` may be a traced scalar, so g_fn is safe inside lax.scan bodies.
+    Segment order matches dirichlet_dofs_values; later segments win.
+    """
+    import jax.numpy as jnp
+
+    d = bc_spec.get("dirichlet")
+    if d is None:
+        return np.zeros(0, dtype=np.int64), lambda t: jnp.zeros(space.ndof)
+
+    if isinstance(d, list):
+        segments = d
+    else:
+        on = d.get("on", "all")
+        if isinstance(on, list):
+            segments = [{"on": o, "value": d.get("value", 0.0)} for o in on]
+        else:
+            segments = [d]
+
+    ncomp = space.ncomp
+    dim = space.mesh.dim
+    compiled = []
+    all_dofs = []
+    for seg in segments:
+        sdofs = space.boundary_dofs_on(seg.get("on", "all"))
+        value = seg.get("value", 0.0)
+        exprs = value if isinstance(value, (list, tuple)) else [value] * ncomp
+        fns = [symbolic.lambdify_spatial(e, dim, with_time=True) for e in exprs]
+        pts = jnp.asarray(space.dof_coords[sdofs])  # (n, dim)
+        blocked = (sdofs[:, None] * ncomp + np.arange(ncomp)[None, :]).reshape(-1)
+        compiled.append((pts, fns, jnp.asarray(blocked)))
+        all_dofs.append(blocked)
+
+    bc_dofs = (
+        np.unique(np.concatenate(all_dofs)) if all_dofs else np.zeros(0, np.int64)
+    )
+
+    def g_fn(t):
+        g = jnp.zeros(space.ndof)
+        for pts, fns, blocked in compiled:
+            vals = jnp.stack([f(pts, t) for f in fns], axis=1).reshape(-1)
+            g = g.at[blocked].set(vals)
+        return g
+
+    return bc_dofs, g_fn
+
+
+def interpolate_nodal(
+    space: FunctionSpace,
+    exprs: Union[ExprLike, Sequence[ExprLike]],
+    t: Optional[float] = None,
+) -> np.ndarray:
+    """Nodal interpolation: evaluate expression(s) at dof coordinates.
+
+    Equispaced Lagrange nodes make this exactly the reference's
+    `interpolate_expression` (dolfinx nodal interpolation,
+    common.py:262-283). Returns (ndof,) blocked for vector spaces.
+    """
+    dim = space.mesh.dim
+    if isinstance(exprs, (list, tuple)):
+        comps = []
+        for e in exprs:
+            fn = symbolic.lambdify_numpy(e, dim, with_time=t is not None)
+            comps.append(fn(space.dof_coords, t) if t is not None else fn(space.dof_coords))
+        return np.stack(comps, axis=1).reshape(-1)
+    fn = symbolic.lambdify_numpy(exprs, dim, with_time=t is not None)
+    vals = fn(space.dof_coords, t) if t is not None else fn(space.dof_coords)
+    if space.ncomp != 1:
+        raise ValueError("scalar expression on vector space")
+    return vals
+
+
+def time_params(pde_cfg: Dict[str, Any], default_t_end=0.1, default_dt=0.01):
+    """(t0, t_end, dt, num_steps) from a case's pde.time block.
+
+    num_steps = int((t_end - t0)/dt + 0.5), the reference's rounding
+    (oracle/wave.py:44, heat.py).
+    """
+    tc = pde_cfg.get("time", {}) or {}
+    t0 = float(tc.get("t0", 0.0))
+    t_end = float(tc.get("t_end", pde_cfg.get("t_final", default_t_end)))
+    dt = float(tc.get("dt", pde_cfg.get("dt", default_dt)))
+    num_steps = max(int((t_end - t0) / dt + 0.5), 1)
+    return t0, t_end, dt, num_steps
+
+
 # ---------------------------------------------------------------------------
 # Exact solutions & baseline error
 # ---------------------------------------------------------------------------

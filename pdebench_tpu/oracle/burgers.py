@@ -1,0 +1,142 @@
+"""Burgers oracle: du/dt + u (u_x + u_y) - nu Lap(u) = f, semi-implicit.
+
+Scheme parity (reference: pdebench/oracle/burger.py:28-181):
+  convection lagged: a = (u/dt) v + u_n (u_x + u_y) v + nu grad u . grad v
+  L = (u_n/dt) v + f(t_{n+1}) v
+  MMS: f = u_t + u (u_x + u_y) - nu Lap(u); u0 = u_exact(t0)
+  defaults t_final = pde.t_final or 0.1, dt = pde.dt or 0.01
+  linear solve per step: GMRES + Jacobi (reference :123-127 uses
+  gmres+jacobi at rtol 1e-8 regardless of case options)
+
+The matrix changes every step (lagged convection), so the scan body
+re-assembles the advection block — a cell-batched einsum — and solves
+with jitted GMRES. Periodic cases identify opposite-boundary dofs in the
+function space (spaces._apply_periodic) and carry no Dirichlet rows.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import sympy as sp
+
+from ..fem import symbolic
+from ..fem.assemble import local_advection, local_mass, local_stiffness
+from ..solvers.dispatch import _apply_local, solve_constrained
+from . import base, scalar
+from .types import OracleResult, compute_rel_L2_grid
+
+
+class BurgersSolver:
+    def solve(
+        self, config: Dict[str, Any], _compute_baseline: bool = True
+    ) -> OracleResult:
+        pde = config["pde"]
+        mms_u = pde.get("manufactured_solution", {}).get("u")
+        periodic = "periodic" in config.get("bc", {})
+        if mms_u is not None and not periodic:
+            config = scalar.override_bc_with_mms(config, mms_u)
+            pde = config["pde"]
+        nu = float(pde.get("pde_params", {}).get("nu", 0.01))
+        t0, t_end, dt, num_steps = base.time_params(
+            pde, default_t_end=0.1, default_dt=0.01
+        )
+        t_final = t0 + num_steps * dt
+
+        ctx = scalar.setup_scalar(config, t0=t0)
+        dim = ctx.dim
+
+        if mms_u is not None:
+            u_sym = symbolic.parse(mms_u)
+            sv = [symbolic.X, symbolic.Y, symbolic.Z][:dim]
+            conv = u_sym * sum(sp.diff(u_sym, v) for v in sv)
+            src = sp.diff(u_sym, symbolic.T) + conv - nu * symbolic.laplacian(
+                u_sym, dim
+            )
+            ic = mms_u
+        else:
+            src = pde.get("source_term", 0.0)
+            ic = pde.get("initial_condition", 0.0)
+        f_fn = symbolic.lambdify_spatial(src, dim, with_time=True)
+        u0 = base.interpolate_nodal(ctx.space, ic, t=t0)
+        _, g_fn = base.dirichlet_traceable(ctx.space, config.get("bc", {}))
+
+        # reference hard-codes gmres+jacobi rtol 1e-8 (burger.py:123-127)
+        rtol, atol, maxiter = 1e-8, 1e-10, 25000
+
+        space, cb = ctx.space, ctx.cb
+        dofmap = jnp.asarray(space.dofmap_scalar)
+        ndof, mask = space.ndof, ctx.mask
+        qpts = ctx.qpts()
+        phi = cb.phi
+        ts = t0 + dt * jnp.arange(1, num_steps + 1)
+        inv_dt = 1.0 / dt
+
+        @jax.jit
+        def run_scan(M, K, u0_arr):
+            def step(u_n, t_next):
+                # lagged convection coefficient at quadrature points:
+                # beta = u_n * (1, ..., 1)
+                un_q = jnp.einsum("qi,ci->cq", phi, u_n[dofmap])
+                beta_q = jnp.repeat(un_q[..., None], dim, axis=-1)
+                A = inv_dt * M + local_advection(cb, beta_q) + nu * K
+                b = inv_dt * _apply_local(M, dofmap, ndof, u_n) + ctx.load_vector(
+                    f_fn(qpts, t_next)
+                )
+                g = g_fn(t_next)
+                x, it, res, conv = solve_constrained(
+                    A, dofmap, b, mask, g, ndof, "gmres", rtol, atol, maxiter
+                )
+                return x, (it, res)
+
+            return jax.lax.scan(step, u0_arr, ts)
+
+        def run():
+            K = local_stiffness(cb)
+            M = local_mass(cb)
+            u, (its, ress) = run_scan(M, K, jnp.asarray(u0))
+            grid = ctx.sample(np.asarray(u))
+            return grid, {
+                "iterations": int(np.asarray(its).sum()),
+                "residual": float(np.asarray(ress)[-1]),
+            }
+
+        (fem_grid, info), t_warm, t_cold = base.timed_run(run)
+        baseline_time = ctx.t_setup + t_warm
+
+        baseline_error = 1e-2
+        if _compute_baseline:
+            err = scalar.mms_baseline_error(config, fem_grid, t_end=t_final)
+            if err is None and "reference_config" in config:
+                ref = self.solve(
+                    scalar.merge_reference_config(config),
+                    _compute_baseline=False,
+                )
+                err = compute_rel_L2_grid(fem_grid, ref.reference)
+            baseline_error = err if err is not None else 1e-2
+
+        solver_info = {
+            "library": "pdebench_tpu",
+            "pde": "burgers",
+            "mesh_resolution": int(config.get("mesh", {}).get("resolution", 0)),
+            "element_degree": space.degree,
+            "nu": nu,
+            "num_steps": num_steps,
+            "dt": dt,
+            "ksp_type": "gmres",
+            "pc_type": "jacobi",
+            "rtol": rtol,
+            "t_setup": ctx.t_setup,
+            "t_cold": t_cold,
+            **info,
+        }
+        return OracleResult(
+            baseline_error=float(baseline_error),
+            baseline_time=float(baseline_time),
+            reference=fem_grid,
+            solver_info=solver_info,
+            num_dofs=ndof,
+        )

@@ -1,0 +1,129 @@
+"""Heat oracle: du/dt - div(kappa grad u) = f, backward Euler.
+
+TPU pipeline: assemble M and K once, form A = M + dt*K, then run the
+whole time loop as ONE jitted lax.scan — each step evaluates f(t) and
+the Dirichlet values g(t) on device and solves with PCG inside the scan
+body. This removes the reference's per-step LinearProblem rebuild
+(reference: pdebench/oracle/heat.py:119-138, noted inefficiency).
+
+Scheme parity (reference: oracle/heat.py:33-237):
+  a = (u v + dt kappa grad u . grad v) dx
+  L = (u_prev + dt f(t_{n+1})) v dx
+  u0   = u_exact(t0) (MMS) or initial_condition
+  BCs  = u_exact(t_{n+1}) on all boundary facets (MMS) or case bc
+  f    = u_t - div(kappa grad u_exact) derived symbolically (MMS)
+  num_steps = int((t_end - t0)/dt + 0.5)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem import symbolic
+from ..fem.assemble import local_mass, local_stiffness
+from ..solvers.dispatch import _apply_local, krylov_method, solve_constrained
+from . import base, scalar
+from .types import OracleResult, compute_rel_L2_grid
+
+
+class HeatSolver:
+    def solve(
+        self, config: Dict[str, Any], _compute_baseline: bool = True
+    ) -> OracleResult:
+        pde = config["pde"]
+        mms_u = pde.get("manufactured_solution", {}).get("u")
+        if mms_u is not None:
+            config = scalar.override_bc_with_mms(config, mms_u)
+        t0, t_end, dt, num_steps = base.time_params(pde)
+        t_final = t0 + num_steps * dt
+        ctx = scalar.setup_scalar(config, t0=t0)
+        dim = ctx.dim
+
+        kspec = pde.get("coefficients", {}).get("kappa") or {}
+        kappa = base.coefficient_fn(kspec or None, dim)
+        if mms_u is not None:
+            kexpr = kspec.get("expr", kspec.get("value", 1.0)) if kspec else 1.0
+            src = symbolic.heat_source(mms_u, kexpr, dim)
+            ic = mms_u
+        else:
+            src = pde.get("source_term", 0.0)
+            ic = pde.get("initial_condition", 0.0)
+        f_fn = symbolic.lambdify_spatial(src, dim, with_time=True)
+        u0 = base.interpolate_nodal(ctx.space, ic, t=t0)
+        _, g_fn = base.dirichlet_traceable(ctx.space, config.get("bc", {}))
+
+        opts = base.solver_opts(config)
+        method = krylov_method(opts, symmetric=True)
+        rtol, atol = float(opts["rtol"]), float(opts.get("atol", 1e-14))
+        maxiter = int(opts.get("max_it", 25000))
+
+        space, cb = ctx.space, ctx.cb
+        dofmap = jnp.asarray(space.dofmap_scalar)
+        ndof, mask = space.ndof, ctx.mask
+        qpts = ctx.qpts()
+        ts = t0 + dt * jnp.arange(1, num_steps + 1)
+
+        @jax.jit
+        def run_scan(A_sys, M, u0_arr):
+            def step(u_n, t_next):
+                f_q = f_fn(qpts, t_next)
+                b = _apply_local(M, dofmap, ndof, u_n) + dt * ctx.load_vector(f_q)
+                g = g_fn(t_next)
+                x, it, res, conv = solve_constrained(
+                    A_sys, dofmap, b, mask, g, ndof, method, rtol, atol, maxiter
+                )
+                return x, (it, res)
+
+            return jax.lax.scan(step, u0_arr, ts)
+
+        def run():
+            kq = kappa(qpts)
+            K = local_stiffness(cb, kq)
+            M = local_mass(cb)
+            A_sys = M + dt * K
+            u, (its, ress) = run_scan(A_sys, M, jnp.asarray(u0))
+            grid = ctx.sample(np.asarray(u))
+            return grid, {
+                "iterations": int(np.asarray(its).sum()),
+                "residual": float(np.asarray(ress)[-1]),
+            }
+
+        (fem_grid, info), t_warm, t_cold = base.timed_run(run)
+        baseline_time = ctx.t_setup + t_warm
+
+        baseline_error = 1e-2
+        if _compute_baseline:
+            err = scalar.mms_baseline_error(config, fem_grid, t_end=t_final)
+            if err is None and "reference_config" in config:
+                ref = self.solve(
+                    scalar.merge_reference_config(config),
+                    _compute_baseline=False,
+                )
+                err = compute_rel_L2_grid(fem_grid, ref.reference)
+            baseline_error = err if err is not None else 1e-2
+
+        solver_info = {
+            "library": "pdebench_tpu",
+            "pde": "heat",
+            "mesh_resolution": int(config.get("mesh", {}).get("resolution", 0)),
+            "element_degree": space.degree,
+            "num_steps": num_steps,
+            "dt": dt,
+            "ksp_type": opts["ksp_type"],
+            "pc_type": opts["pc_type"],
+            "rtol": rtol,
+            "t_setup": ctx.t_setup,
+            "t_cold": t_cold,
+            **info,
+        }
+        return OracleResult(
+            baseline_error=float(baseline_error),
+            baseline_time=float(baseline_time),
+            reference=fem_grid,
+            solver_info=solver_info,
+            num_dofs=ndof,
+        )

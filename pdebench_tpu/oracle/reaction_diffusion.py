@@ -1,0 +1,229 @@
+r"""Reaction-diffusion oracle: du/dt - eps Lap(u) + R(u) = f, backward
+Euler with a jitted Newton solve per step for nonlinear reactions.
+
+Reaction library parity (reference: pdebench/oracle/reaction_diffusion.py
+:44-90): linear alpha*u; cubic alpha*u + beta*u^3; allen_cahn
+lambda*(u^3 - u); logistic rho*u*(1-u).
+
+Scheme parity (reference :344-405):
+  F(u) = M (u - u_n)/dt + eps K u + \int R(u) v - \int f(t_{n+1}) v
+  Newton: J = M/dt + eps K + \int R'(u) phi_i phi_j, warm-started from
+  the previous step; tolerances snes_rtol/atol (1e-10/1e-12), max_it 30.
+  MMS: f = u_t - eps Lap(u_exact) + R(u_exact); BCs/IC from u_exact.
+  num_steps = ceil((t_end - t0)/dt).
+
+The entire time loop (including per-step Newton iterations and inner
+Krylov solves) is ONE jitted lax.scan; reaction evaluation happens at
+quadrature points on device.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import sympy as sp
+
+from ..fem import symbolic
+from ..fem.assemble import (
+    local_load,
+    local_mass,
+    local_stiffness,
+    scatter_add,
+)
+from ..solvers.dispatch import _apply_local, krylov_method, solve_constrained
+from . import base, scalar
+from .types import OracleResult, compute_rel_L2_grid
+
+_U = sp.Symbol("u", real=True)
+
+
+def reaction_expr(reaction: Dict[str, Any]) -> Tuple[sp.Expr, bool]:
+    """R(u) as sympy in `u`, plus nonlinearity flag."""
+    rtype = str(reaction.get("type", "linear")).lower()
+    if rtype == "linear":
+        return sp.sympify(reaction.get("alpha", 0.0)) * _U, False
+    if rtype in ("cubic", "poly3"):
+        a = sp.sympify(reaction.get("alpha", 0.0))
+        b = sp.sympify(reaction.get("beta", 1.0))
+        return a * _U + b * _U**3, True
+    if rtype in ("allen_cahn", "allen-cahn"):
+        lam = sp.sympify(reaction.get("lambda", reaction.get("lam", 1.0)))
+        return lam * (_U**3 - _U), True
+    if rtype in ("logistic", "fisher_kpp", "fisher-kpp"):
+        rho = sp.sympify(reaction.get("rho", 1.0))
+        return rho * _U * (1 - _U), True
+    raise ValueError(f"unsupported reaction type: {rtype}")
+
+
+class ReactionDiffusionSolver:
+    def solve(
+        self, config: Dict[str, Any], _compute_baseline: bool = True
+    ) -> OracleResult:
+        pde = config["pde"]
+        mms_u = pde.get("manufactured_solution", {}).get("u")
+        if mms_u is not None:
+            config = scalar.override_bc_with_mms(config, mms_u)
+            pde = config["pde"]
+        params = pde.get("pde_params", {})
+        epsilon = float(params.get("epsilon", 1.0))
+        R_sym, nonlinear = reaction_expr(params.get("reaction", {}))
+        R_fn = sp.lambdify(_U, R_sym, modules=[jnp])
+        Rp_fn = sp.lambdify(_U, sp.diff(R_sym, _U), modules=[jnp])
+
+        t0 = float(pde.get("time", {}).get("t0", 0.0))
+        t_end = float(pde.get("time", {}).get("t_end", 1.0))
+        dt = float(pde.get("time", {}).get("dt", 0.01))
+        num_steps = max(int((t_end - t0) / dt + 0.999999), 1)
+        t_final = t0 + num_steps * dt
+
+        ctx = scalar.setup_scalar(config, t0=t0)
+        dim = ctx.dim
+
+        if mms_u is not None:
+            u_sym = symbolic.parse(mms_u)
+            src = (
+                sp.diff(u_sym, symbolic.T)
+                - epsilon * symbolic.laplacian(u_sym, dim)
+                + R_sym.subs(_U, u_sym)
+            )
+            ic = mms_u
+        else:
+            src = pde.get("source_term", 0.0)
+            ic = pde.get("initial_condition", 0.0)
+        f_fn = symbolic.lambdify_spatial(src, dim, with_time=True)
+        u0 = base.interpolate_nodal(ctx.space, ic, t=t0)
+        _, g_fn = base.dirichlet_traceable(ctx.space, config.get("bc", {}))
+
+        opts = base.solver_opts(config)
+        method = krylov_method(opts, symmetric=not nonlinear)
+        ksp_rtol = float(opts.get("ksp_rtol", opts.get("rtol", 1e-10)))
+        newton_rtol = float(opts.get("rtol", 1e-10))
+        newton_atol = float(opts.get("atol", 1e-12))
+        newton_maxit = int(opts.get("max_it", 30))
+        maxiter = 25000
+
+        space, cb = ctx.space, ctx.cb
+        dofmap = jnp.asarray(space.dofmap_scalar)
+        ndof, mask = space.ndof, ctx.mask
+        qpts = ctx.qpts()
+        phi = cb.phi  # (nq, nl)
+        ts = t0 + dt * jnp.arange(1, num_steps + 1)
+
+        # u at quadrature points: (c, nq) = phi (nq, nl) . u[dofmap] (c, nl)
+        def u_at_q(u):
+            return jnp.einsum("qi,ci->cq", phi, u[dofmap])
+
+        def load(v_q):
+            return scatter_add(local_load(cb, v_q), dofmap, ndof)
+
+        @jax.jit
+        def run_scan(M, K, u0_arr):
+            inv_dt = 1.0 / dt
+
+            def residual(u, u_n, b_f):
+                r_q = R_fn(u_at_q(u))
+                G = (
+                    inv_dt * _apply_local(M, dofmap, ndof, u - u_n)
+                    + epsilon * _apply_local(K, dofmap, ndof, u)
+                    + load(r_q)
+                    - b_f
+                )
+                return jnp.where(mask, 0.0, G)
+
+            def step(u_n, t_next):
+                b_f = load(f_fn(qpts, t_next))
+                g = g_fn(t_next)
+                u_init = jnp.where(mask, g, u_n)
+
+                if not nonlinear:
+                    rp = Rp_fn(jnp.zeros(()))  # constant alpha
+                    A = inv_dt * M + epsilon * K + rp * local_mass(cb)
+                    b = inv_dt * _apply_local(M, dofmap, ndof, u_n) + b_f
+                    x, it, res, conv = solve_constrained(
+                        A, dofmap, b, mask, g, ndof, method,
+                        ksp_rtol, newton_atol, maxiter,
+                    )
+                    return x, (it.astype(jnp.int64), res)
+
+                G0 = residual(u_init, u_n, b_f)
+                tol = jnp.maximum(
+                    newton_rtol * jnp.linalg.norm(G0), newton_atol
+                )
+
+                def cond(state):
+                    u, k, lin_it = state
+                    r = residual(u, u_n, b_f)
+                    return jnp.logical_and(
+                        k < newton_maxit, jnp.linalg.norm(r) > tol
+                    )
+
+                def body(state):
+                    u, k, lin_it = state
+                    rp_q = Rp_fn(u_at_q(u))
+                    J = inv_dt * M + epsilon * K + local_mass(cb, rp_q)
+                    G = residual(u, u_n, b_f)
+                    d, it, res, conv = solve_constrained(
+                        J, dofmap, -G, mask, jnp.zeros(ndof), ndof,
+                        "gmres", ksp_rtol, newton_atol, maxiter,
+                    )
+                    return (u + d, k + 1, lin_it + it.astype(jnp.int64))
+
+                u, k, lin_it = jax.lax.while_loop(
+                    cond, body, (u_init, 0, jnp.zeros((), jnp.int64))
+                )
+                rfinal = jnp.linalg.norm(residual(u, u_n, b_f))
+                return u, (lin_it, rfinal)
+
+            return jax.lax.scan(step, u0_arr, ts)
+
+        def run():
+            K = local_stiffness(cb)
+            M = local_mass(cb)
+            u, (its, ress) = run_scan(M, K, jnp.asarray(u0))
+            grid = ctx.sample(np.asarray(u))
+            return grid, {
+                "iterations": int(np.asarray(its).sum()),
+                "residual": float(np.asarray(ress)[-1]),
+            }
+
+        (fem_grid, info), t_warm, t_cold = base.timed_run(run)
+        baseline_time = ctx.t_setup + t_warm
+
+        baseline_error = 1e-2
+        if _compute_baseline:
+            err = scalar.mms_baseline_error(config, fem_grid, t_end=t_final)
+            if err is None and "reference_config" in config:
+                ref = self.solve(
+                    scalar.merge_reference_config(config),
+                    _compute_baseline=False,
+                )
+                err = compute_rel_L2_grid(fem_grid, ref.reference)
+            baseline_error = err if err is not None else 1e-2
+
+        solver_info = {
+            "library": "pdebench_tpu",
+            "pde": "reaction_diffusion",
+            "mesh_resolution": int(config.get("mesh", {}).get("resolution", 0)),
+            "element_degree": space.degree,
+            "reaction": params.get("reaction", {}).get("type", "linear"),
+            "nonlinear": nonlinear,
+            "method": "newton" if nonlinear else method,
+            "num_steps": num_steps,
+            "dt": dt,
+            "ksp_type": opts["ksp_type"],
+            "pc_type": opts["pc_type"],
+            "rtol": float(opts["rtol"]),
+            "t_setup": ctx.t_setup,
+            "t_cold": t_cold,
+            **info,
+        }
+        return OracleResult(
+            baseline_error=float(baseline_error),
+            baseline_time=float(baseline_time),
+            reference=fem_grid,
+            solver_info=solver_info,
+            num_dofs=ndof,
+        )

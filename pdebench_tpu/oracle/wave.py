@@ -1,0 +1,145 @@
+"""Wave oracle: d2u/dt2 - c^2 Lap(u) = f, Newmark theta-scheme (theta=1/4).
+
+Scheme parity (reference: pdebench/oracle/wave.py:34-127):
+  u^0    = u_exact(t0) (MMS) or initial_condition
+  u^{-1} = u^0 - dt * v0,  v0 = d/dt u_exact(t0) (MMS) or initial_velocity
+  A      = M/dt^2 + theta c^2 K                         (constant)
+  b_n    = M (2u^n - u^{n-1})/dt^2 - (1-2 theta) c^2 K u^n
+           - theta c^2 K u^{n-1} + M f(t_n)             (source at t_n)
+  BCs    = u_exact(t_{n+1})
+  f      = u_tt - c^2 Lap(u_exact) derived symbolically (MMS)
+
+The loop runs as one jitted lax.scan carrying (u^n, u^{n-1}).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import sympy as sp
+
+from ..fem import symbolic
+from ..fem.assemble import local_mass, local_stiffness
+from ..solvers.dispatch import _apply_local, krylov_method, solve_constrained
+from . import base, scalar
+from .types import OracleResult, compute_rel_L2_grid
+
+THETA = 0.25
+
+
+class WaveSolver:
+    def solve(
+        self, config: Dict[str, Any], _compute_baseline: bool = True
+    ) -> OracleResult:
+        pde = config["pde"]
+        mms_u = pde.get("manufactured_solution", {}).get("u")
+        if mms_u is not None:
+            config = scalar.override_bc_with_mms(config, mms_u)
+        c = float(pde.get("pde_params", {}).get("c", 1.0))
+        c2 = c * c
+        t0, t_end, dt, num_steps = base.time_params(pde)
+        t_final = t0 + num_steps * dt
+        ctx = scalar.setup_scalar(config, t0=t0)
+        dim = ctx.dim
+
+        if mms_u is not None:
+            u_sym = symbolic.parse(mms_u)
+            src = sp.simplify(
+                sp.diff(u_sym, symbolic.T, 2) - c2 * symbolic.laplacian(u_sym, dim)
+            )
+            ic = mms_u
+            v0_expr = sp.diff(u_sym, symbolic.T)
+        else:
+            src = pde.get("source_term", 0.0)
+            ic = pde.get("initial_condition", 0.0)
+            v0_expr = pde.get("initial_velocity", 0.0)
+        f_fn = symbolic.lambdify_spatial(src, dim, with_time=True)
+        u0 = base.interpolate_nodal(ctx.space, ic, t=t0)
+        v0 = base.interpolate_nodal(ctx.space, v0_expr, t=t0)
+        um1 = u0 - dt * v0
+        _, g_fn = base.dirichlet_traceable(ctx.space, config.get("bc", {}))
+
+        opts = base.solver_opts(config)
+        method = krylov_method(opts, symmetric=True)
+        rtol, atol = float(opts["rtol"]), float(opts.get("atol", 1e-14))
+        maxiter = int(opts.get("max_it", 25000))
+
+        space, cb = ctx.space, ctx.cb
+        dofmap = jnp.asarray(space.dofmap_scalar)
+        ndof, mask = space.ndof, ctx.mask
+        qpts = ctx.qpts()
+        inv_dt2 = 1.0 / (dt * dt)
+        t_ns = t0 + dt * jnp.arange(num_steps)  # source times t_n
+
+        @jax.jit
+        def run_scan(A_sys, M, K, u0_arr, um1_arr):
+            def step(carry, t_n):
+                u_n, u_nm1 = carry
+                f_q = f_fn(qpts, t_n)
+                b = (
+                    inv_dt2 * _apply_local(M, dofmap, ndof, 2.0 * u_n - u_nm1)
+                    - (1.0 - 2.0 * THETA) * c2 * _apply_local(K, dofmap, ndof, u_n)
+                    - THETA * c2 * _apply_local(K, dofmap, ndof, u_nm1)
+                    + ctx.load_vector(f_q)
+                )
+                g = g_fn(t_n + dt)
+                x, it, res, conv = solve_constrained(
+                    A_sys, dofmap, b, mask, g, ndof, method, rtol, atol, maxiter
+                )
+                return (x, u_n), (it, res)
+
+            (u, _), aux = jax.lax.scan(step, (u0_arr, um1_arr), t_ns)
+            return u, aux
+
+        def run():
+            K = local_stiffness(cb)
+            M = local_mass(cb)
+            A_sys = inv_dt2 * M + THETA * c2 * K
+            u, (its, ress) = run_scan(
+                A_sys, M, K, jnp.asarray(u0), jnp.asarray(um1)
+            )
+            grid = ctx.sample(np.asarray(u))
+            return grid, {
+                "iterations": int(np.asarray(its).sum()),
+                "residual": float(np.asarray(ress)[-1]),
+            }
+
+        (fem_grid, info), t_warm, t_cold = base.timed_run(run)
+        baseline_time = ctx.t_setup + t_warm
+
+        baseline_error = 1e-2
+        if _compute_baseline:
+            err = scalar.mms_baseline_error(config, fem_grid, t_end=t_final)
+            if err is None and "reference_config" in config:
+                ref = self.solve(
+                    scalar.merge_reference_config(config),
+                    _compute_baseline=False,
+                )
+                err = compute_rel_L2_grid(fem_grid, ref.reference)
+            baseline_error = err if err is not None else 1e-2
+
+        solver_info = {
+            "library": "pdebench_tpu",
+            "pde": "wave",
+            "mesh_resolution": int(config.get("mesh", {}).get("resolution", 0)),
+            "element_degree": space.degree,
+            "num_steps": num_steps,
+            "dt": dt,
+            "theta": THETA,
+            "ksp_type": opts["ksp_type"],
+            "pc_type": opts["pc_type"],
+            "rtol": rtol,
+            "t_setup": ctx.t_setup,
+            "t_cold": t_cold,
+            **info,
+        }
+        return OracleResult(
+            baseline_error=float(baseline_error),
+            baseline_time=float(baseline_time),
+            reference=fem_grid,
+            solver_info=solver_info,
+            num_dofs=ndof,
+        )

@@ -39,11 +39,7 @@ def _apply_local(A_local, dofmap, ndof, v):
     return scatter_add(ve, dofmap, ndof)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("ndof", "method", "rtol", "atol", "maxiter", "restart"),
-)
-def _iterative(
+def solve_constrained(
     A_local,
     dofmap,
     b,
@@ -56,6 +52,12 @@ def _iterative(
     maxiter: int,
     restart: int = 60,
 ):
+    """Traceable constrained Krylov solve on cell-local matrices.
+
+    Safe to call inside jit/scan bodies (e.g. per-timestep solves in a
+    lax.scan time loop, or per-Newton-iteration solves). Returns
+    (x, iterations, residual, converged).
+    """
     raw = lambda v: _apply_local(A_local, dofmap, ndof, v)
     A = constrained_operator(raw, mask)
     rhs = constrained_rhs(raw, b, mask, g)
@@ -83,8 +85,24 @@ def _iterative(
     return x, info.iterations, info.residual, info.converged
 
 
+_iterative = jax.jit(
+    solve_constrained,
+    static_argnames=("ndof", "method", "rtol", "atol", "maxiter", "restart"),
+)
+
+
 _DIRECT_KSP = ("preonly",)
 _DIRECT_PC = ("lu", "cholesky", "mumps")
+
+
+def krylov_method(opts: Dict[str, Any], symmetric: bool = True) -> str:
+    """Map a case's PETSc-style ksp_type onto our device Krylov methods."""
+    ksp = str(opts.get("ksp_type", "cg")).lower()
+    if ksp in ("cg", "minres") and symmetric:
+        return "cg"
+    if ksp == "bicgstab":
+        return "bicgstab"
+    return "gmres"
 
 
 def solve_linear(
