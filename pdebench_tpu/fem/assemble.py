@@ -209,6 +209,69 @@ def local_supg(
     return out
 
 
+def local_elasticity(
+    cb: CellBatch, mu: jnp.ndarray, lam: jnp.ndarray
+) -> jnp.ndarray:
+    """∫ 2 mu eps(u):eps(v) + lam div(u) div(v) over blocked vector dofs.
+
+    mu/lam: scalars or (n_cells, nq) fields. Returns (n_cells, nl*d, nl*d)
+    in the interleaved ordering of FunctionSpace.dofmap (node-major,
+    component-minor). Expanded index form:
+      K[(ia),(jb)] = ∫ mu (dphi_i/dx_b dphi_j/dx_a
+                          + delta_ab grad phi_i . grad phi_j)
+                     + lam dphi_i/dx_a dphi_j/dx_b
+    Reference weak form: pdebench/oracle/linear_elasticity.py:225-231.
+    """
+    g = cb.grad_phys()  # (c, q, i, d)
+    w = cb.wdetJ
+    wmu = w * mu if jnp.ndim(mu) else w * mu
+    wlam = w * lam if jnp.ndim(lam) else w * lam
+    d = g.shape[-1]
+    t1 = jnp.einsum("cqib,cqja,cq->ciajb", g, g, wmu)
+    t2 = jnp.einsum("cqid,cqjd,cq->cij", g, g, wmu)
+    t3 = jnp.einsum("cqia,cqjb,cq->ciajb", g, g, wlam)
+    eye = jnp.eye(d)
+    K = t1 + t3 + jnp.einsum("cij,ab->ciajb", t2, eye)
+    c, nl = K.shape[0], K.shape[1]
+    return K.reshape(c, nl * d, nl * d)
+
+
+def local_vector_load(cb: CellBatch, f_q: jnp.ndarray) -> jnp.ndarray:
+    """∫ f . v with f_q (n_cells, nq, d) -> (n_cells, nl*d) interleaved."""
+    b = jnp.einsum("qi,cqa,cq->cia", cb.phi, f_q, cb.wdetJ)
+    c, nl, d = b.shape
+    return b.reshape(c, nl * d)
+
+
+def local_vector_laplacian(cb: CellBatch, coef=1.0) -> jnp.ndarray:
+    """∫ coef grad(u):grad(v) over blocked vector dofs (component-diagonal).
+
+    K[(ia),(jb)] = delta_ab * coef * ∫ grad phi_i . grad phi_j, interleaved
+    ordering. This is the nu * inner(grad(u), grad(v)) block of Stokes
+    (reference: pdebench/oracle/stokes.py:201-207).
+    """
+    Ks = local_stiffness(cb) * coef  # (c, nl, nl)
+    d = cb.dphi.shape[-1]
+    eye = jnp.eye(d)
+    K = jnp.einsum("cij,ab->ciajb", Ks, eye)
+    c, nl = Ks.shape[0], Ks.shape[1]
+    return K.reshape(c, nl * d, nl * d)
+
+
+def local_divergence(
+    cb: CellBatch, psi: jnp.ndarray
+) -> jnp.ndarray:
+    """Pressure-velocity coupling G[(ia), j] = -∫ psi_j dphi_i/dx_a.
+
+    psi: (nq, nlp) pressure basis at the SAME quadrature points. The
+    saddle system is [[A, G], [G^T, 0]] (a = ... - p div v - q div u).
+    """
+    g = cb.grad_phys()  # (c, q, i, d)
+    G = -jnp.einsum("cqia,qj,cq->ciaj", g, psi, cb.wdetJ)
+    c, nl, d, nlp = G.shape
+    return G.reshape(c, nl * d, nlp)
+
+
 def local_supg_load(
     cb: CellBatch, beta_q: jnp.ndarray, tau_c: jnp.ndarray, f_q: jnp.ndarray
 ):

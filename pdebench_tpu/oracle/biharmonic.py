@@ -1,0 +1,104 @@
+"""Biharmonic oracle: Lap^2 u = f via the split mixed formulation
+  -Lap w = f   with w = -Lap(u_exact) on the boundary
+  -Lap u = w_h with u = u_exact      on the boundary
+
+Parity (reference: pdebench/oracle/biharmonic.py:1-13, 105-137): MMS
+derives w = -Lap(u_exact) and f = -Lap(w) = Lap^2(u_exact); non-MMS
+cases read f from source_term with w = 0 on the boundary. The second
+solve's source is the FIRST solve's FEM function evaluated at
+quadrature points (not re-interpolated).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+import numpy as np
+import sympy as sp
+
+from ..fem import symbolic
+from ..fem.assemble import LocalOperator, bc_mask_values, local_stiffness
+from ..solvers.dispatch import solve_linear
+from . import base, scalar
+from .types import OracleResult, compute_rel_L2_grid
+
+
+class BiharmonicSolver:
+    def solve(
+        self, config: Dict[str, Any], _compute_baseline: bool = True
+    ) -> OracleResult:
+        pde = config["pde"]
+        mms_u = pde.get("manufactured_solution", {}).get("u")
+        if mms_u is not None:
+            config = scalar.override_bc_with_mms(config, mms_u)
+        ctx = scalar.setup_scalar(config)
+        dim = ctx.dim
+        space, cb = ctx.space, ctx.cb
+
+        if mms_u is not None:
+            u_sym = symbolic.parse(mms_u)
+            w_sym = -symbolic.laplacian(u_sym, dim)
+            f_sym = sp.simplify(-symbolic.laplacian(w_sym, dim))
+            w_bc = base.interpolate_nodal(space, w_sym)
+        else:
+            f_sym = pde.get("source_term", 0.0)
+            w_bc = np.zeros(space.ndof)
+        f_fn = symbolic.lambdify_spatial(f_sym, dim)
+        opts = base.solver_opts(config)
+
+        # Dirichlet masks: same dofs, different values (w vs u)
+        bc_dofs = space.boundary_scalar_dofs
+        mask_w, g_w = bc_mask_values(space.ndof, bc_dofs, w_bc[bc_dofs])
+        phi = cb.phi
+        dofmap = jnp.asarray(space.dofmap_scalar)
+
+        def run():
+            K = local_stiffness(cb)
+            op = LocalOperator(K, space.dofmap_scalar, space.ndof)
+            # first Poisson: -Lap w = f
+            b_w = ctx.load_vector(f_fn(ctx.qpts()))
+            w, info_w = solve_linear(op, b_w, mask_w, g_w, opts, symmetric=True)
+            # second Poisson: -Lap u = w_h
+            w_j = jnp.asarray(w)
+            w_q = jnp.einsum("qi,ci->cq", phi, w_j[dofmap])
+            b_u = ctx.load_vector(w_q)
+            u, info_u = solve_linear(op, b_u, ctx.mask, ctx.g, opts, symmetric=True)
+            grid = ctx.sample(u)
+            info = dict(info_u)
+            info["iterations"] = int(info_w.get("iterations", 0)) + int(
+                info_u.get("iterations", 0)
+            )
+            return grid, info
+
+        (fem_grid, info), t_warm, t_cold = base.timed_run(run)
+        baseline_time = ctx.t_setup + t_warm
+
+        baseline_error = 1e-2
+        if _compute_baseline:
+            err = scalar.mms_baseline_error(config, fem_grid)
+            if err is None and "reference_config" in config:
+                ref = self.solve(
+                    scalar.merge_reference_config(config),
+                    _compute_baseline=False,
+                )
+                err = compute_rel_L2_grid(fem_grid, ref.reference)
+            baseline_error = err if err is not None else 1e-2
+
+        solver_info = {
+            "library": "pdebench_tpu",
+            "pde": "biharmonic",
+            "mesh_resolution": int(config.get("mesh", {}).get("resolution", 0)),
+            "element_degree": space.degree,
+            "formulation": "split_mixed",
+            "t_setup": ctx.t_setup,
+            "t_cold": t_cold,
+            **info,
+        }
+        return OracleResult(
+            baseline_error=float(baseline_error),
+            baseline_time=float(baseline_time),
+            reference=fem_grid,
+            solver_info=solver_info,
+            num_dofs=space.ndof,
+        )

@@ -1,0 +1,209 @@
+"""Shared Taylor-Hood (mixed velocity/pressure) machinery for Stokes and
+Navier-Stokes oracles.
+
+Layout: the mixed unknown is one flat vector x = [u_blocked ; p], with
+velocity dofs interleaved (node-major, component-minor) followed by
+pressure dofs. The coupled operator is applied matrix-free from
+cell-local blocks (A velocity block, G coupling):
+
+    r_u = A u + G p        r_p = G^T u
+
+Dirichlet velocity rows and one pinned pressure dof are eliminated
+symmetrically (constrained_operator). The device iterative path is
+MINRES with the canonical block-diagonal preconditioner
+diag(A)^-1 (+) nu * lumped(M_p)^-1 — the Schur complement of Stokes is
+spectrally equivalent to (1/nu) M_p. The direct path assembles a global
+CSR on host and factorizes with SuperLU (the reference's UMFPACK/MUMPS
+role, oracle/stokes.py:253, dealii robustness overrides).
+
+Reference: pdebench/oracle/stokes.py (Taylor-Hood spaces :186-199, weak
+form :201-207, pressure point-fixing :233-251).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem import refelem, sampling, symbolic
+from ..fem.assemble import (
+    CellBatch,
+    cell_batch,
+    local_divergence,
+    local_mass,
+    local_vector_laplacian,
+    scatter_add,
+)
+from ..fem.mesh import Mesh
+from ..fem.spaces import FunctionSpace
+from . import base
+
+
+@dataclass
+class TaylorHoodContext:
+    config: Dict[str, Any]
+    mesh: Mesh
+    V: FunctionSpace  # velocity (vector, degree_u)
+    Q: FunctionSpace  # pressure (scalar, degree_p)
+    cb: CellBatch  # tabulated at degree_u quadrature
+    psi: jnp.ndarray  # (nq, nlp) pressure basis at the same points
+    grid: Dict[str, Any]
+    loc: sampling.PointLocation
+    mask: jnp.ndarray  # (N,) combined Dirichlet + pressure-pin mask
+    g: jnp.ndarray  # (N,) constrained values
+    pin_dof: int
+    t_setup: float
+
+    @property
+    def dim(self) -> int:
+        return self.mesh.dim
+
+    @property
+    def nu_dofs(self) -> int:
+        return self.V.ndof
+
+    @property
+    def N(self) -> int:
+        return self.V.ndof + self.Q.ndof
+
+    def qpts(self) -> jnp.ndarray:
+        return self.cb.qpts
+
+    def sample_velocity_magnitude(self, x: np.ndarray) -> np.ndarray:
+        u = np.asarray(x)[: self.V.ndof]
+        return sampling.sample_on_grid(self.V, u, self.grid, loc=self.loc)
+
+
+def setup_taylor_hood(
+    config: Dict[str, Any], pin_pressure: bool = True
+) -> TaylorHoodContext:
+    t_start = time.perf_counter()
+    mesh = base.build_mesh(config["domain"], config.get("mesh", {}))
+    fem_cfg = config.get("fem", {})
+    deg_u = int(fem_cfg.get("degree_u", 2))
+    deg_p = int(fem_cfg.get("degree_p", 1))
+    V = FunctionSpace(mesh, deg_u, ncomp=mesh.dim)
+    Q = FunctionSpace(mesh, deg_p)
+    cb = cell_batch(mesh, deg_u)
+    tables = refelem.element_tables(mesh.cell_type, deg_u, 2 * deg_u + 2)
+    psi, _ = refelem.tabulate(mesh.cell_type, deg_p, tables.qpoints)
+
+    grid = config["output"]["grid"]
+    pts, _ = sampling.grid_points(grid)
+    loc = sampling.locate_points(mesh, pts)
+
+    # velocity Dirichlet
+    bc_dofs, bc_values, _ = base.dirichlet_dofs_values(V, config.get("bc", {}))
+    N = V.ndof + Q.ndof
+    mask = np.zeros(N, dtype=bool)
+    g = np.zeros(N)
+    mask[bc_dofs] = True
+    g[bc_dofs] = bc_values
+
+    # pressure point-fixing at the dof nearest the origin
+    # (reference: oracle/stokes.py:233-251)
+    pin = -1
+    if pin_pressure:
+        pin = int(np.argmin(np.linalg.norm(Q.dof_coords, axis=1)))
+        mask[V.ndof + pin] = True
+        g[V.ndof + pin] = 0.0
+
+    return TaylorHoodContext(
+        config=config,
+        mesh=mesh,
+        V=V,
+        Q=Q,
+        cb=cb,
+        psi=jnp.asarray(psi),
+        grid=grid,
+        loc=loc,
+        mask=jnp.asarray(mask),
+        g=jnp.asarray(g),
+        pin_dof=pin,
+        t_setup=time.perf_counter() - t_start,
+    )
+
+
+def saddle_apply(
+    A_loc: jnp.ndarray,
+    G_loc: jnp.ndarray,
+    dofmap_u: jnp.ndarray,
+    dofmap_p: jnp.ndarray,
+    nu_dofs: int,
+    np_dofs: int,
+) -> Callable:
+    """Matrix-free [[A, G], [G^T, 0]] on the stacked vector."""
+
+    def apply(x):
+        u, p = x[:nu_dofs], x[nu_dofs:]
+        ue = u[dofmap_u]  # (c, nlu)
+        pe = p[dofmap_p]  # (c, nlp)
+        ru_loc = jnp.einsum("cij,cj->ci", A_loc, ue) + jnp.einsum(
+            "cij,cj->ci", G_loc, pe
+        )
+        rp_loc = jnp.einsum("cij,ci->cj", G_loc, ue)
+        ru = scatter_add(ru_loc, dofmap_u, nu_dofs)
+        rp = scatter_add(rp_loc, dofmap_p, np_dofs)
+        return jnp.concatenate([ru, rp])
+
+    return apply
+
+
+def saddle_diag_precond(
+    A_loc: jnp.ndarray,
+    cb: CellBatch,
+    psi: jnp.ndarray,
+    dofmap_u: jnp.ndarray,
+    dofmap_p: jnp.ndarray,
+    nu_dofs: int,
+    np_dofs: int,
+    nu_visc: float,
+    mask: jnp.ndarray,
+) -> Callable:
+    """Block-diagonal SPD preconditioner diag(A)^-1 (+) nu * Mp_lumped^-1."""
+    dA = scatter_add(jnp.einsum("cii->ci", A_loc), dofmap_u, nu_dofs)
+    # pressure mass at pressure quadrature
+    Mp = jnp.einsum("qi,qj,cq->cij", psi, psi, cb.wdetJ)
+    dMp = scatter_add(jnp.einsum("cii->ci", Mp), dofmap_p, np_dofs)
+    diag = jnp.concatenate([dA, dMp / max(nu_visc, 1e-300)])
+    diag = jnp.where(mask, 1.0, diag)
+    safe = jnp.where(jnp.abs(diag) > 1e-300, diag, 1.0)
+    inv = 1.0 / safe
+    return lambda r: inv * r
+
+
+def saddle_to_scipy(
+    A_loc: np.ndarray,
+    G_loc: np.ndarray,
+    dofmap_u: np.ndarray,
+    dofmap_p: np.ndarray,
+    nu_dofs: int,
+    np_dofs: int,
+):
+    """Global sparse [[A, G], [G^T, 0]] CSR on host."""
+    import scipy.sparse as sps
+
+    A_loc = np.asarray(A_loc)
+    G_loc = np.asarray(G_loc)
+    dmu = np.asarray(dofmap_u, dtype=np.int64)
+    dmp = np.asarray(dofmap_p, dtype=np.int64) + nu_dofs
+    nlu = dmu.shape[1]
+    nlp = dmp.shape[1]
+    N = nu_dofs + np_dofs
+
+    rows_A = np.repeat(dmu, nlu, axis=1).reshape(-1)
+    cols_A = np.tile(dmu, (1, nlu)).reshape(-1)
+    rows_G = np.repeat(dmu, nlp, axis=1).reshape(-1)
+    cols_G = np.tile(dmp, (1, nlu)).reshape(-1)
+
+    rows = np.concatenate([rows_A, rows_G, cols_G])
+    cols = np.concatenate([cols_A, cols_G, rows_G])
+    vals = np.concatenate(
+        [A_loc.reshape(-1), G_loc.reshape(-1), G_loc.reshape(-1)]
+    )
+    return sps.coo_matrix((vals, (rows, cols)), shape=(N, N)).tocsr()

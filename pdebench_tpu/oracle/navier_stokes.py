@@ -1,0 +1,271 @@
+"""Navier-Stokes oracle: steady incompressible NS, Taylor-Hood, Newton
+with backtracking line search and nu-continuation.
+
+  F((u,p);(v,q)) = ((grad u) u, v) + nu (grad u, grad v) - (p, div v)
+                   - (q, div u) - (f, v)
+
+Parity (reference: pdebench/oracle/navier_stokes.py:188-367):
+  - init modes: 'stokes' (Stokes solve warm start), 'zero', 'exact'
+    (interpolate u_exact), 'continuation' (geometric nu ladder
+    nu_start * (nu/nu_start)^(k/n) for k=1..n, Stokes init at nu_start,
+    Newton at each rung with rtol 1e-8/atol 1e-10)
+  - final Newton at the case's rtol/atol/max_it with 'bt' line search
+  - the Newton linear systems are solved DIRECT (pc_type lu default,
+    reference uses PETSc LU/MUMPS) — here host SuperLU on the assembled
+    saddle Jacobian, with residual/Jacobian blocks computed as batched
+    einsums on device
+  - MMS: f = (grad u)u - nu Lap(u) + grad(p) derived symbolically;
+    divergence-free check on the manufactured velocity (:143-146)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+import sympy as sp
+
+from ..fem import symbolic
+from ..fem.assemble import (
+    local_divergence,
+    local_vector_laplacian,
+    local_vector_load,
+    scatter_add,
+)
+from ..solvers import direct as directmod
+from ..solvers.krylov import minres
+from . import base, mixed, scalar
+from .types import OracleResult, compute_rel_L2_grid
+
+
+def ns_source(u_exprs: List, p_expr, nu: float, dim: int) -> List[sp.Expr]:
+    """f = (grad u)u - nu Lap(u) + grad(p), componentwise sympy."""
+    sv = [symbolic.X, symbolic.Y, symbolic.Z][:dim]
+    u = [symbolic.parse(e) for e in u_exprs]
+    p = symbolic.parse(p_expr if p_expr is not None else 0)
+    out = []
+    for a in range(dim):
+        conv = sum(u[b] * sp.diff(u[a], sv[b]) for b in range(dim))
+        out.append(
+            sp.simplify(conv - nu * symbolic.laplacian(u[a], dim) + sp.diff(p, sv[a]))
+        )
+    return out
+
+
+class NavierStokesSolver:
+    def solve(
+        self, config: Dict[str, Any], _compute_baseline: bool = True
+    ) -> OracleResult:
+        pde = config["pde"]
+        mms = pde.get("manufactured_solution", {})
+        mms_u = mms.get("u")
+        if mms_u is not None:
+            config = scalar.override_bc_with_mms(config, list(mms_u))
+            pde = config["pde"]
+        nu = float(pde.get("pde_params", {}).get("nu", 1.0))
+
+        ctx = mixed.setup_taylor_hood(config)
+        dim = ctx.dim
+        V, Q, cb = ctx.V, ctx.Q, ctx.cb
+        dofmap_u = jnp.asarray(V.dofmap)
+        dofmap_p = jnp.asarray(Q.dofmap_scalar)
+        nlu_s = V.dofmap_scalar.shape[1]  # scalar nodes per cell
+
+        if mms_u is not None:
+            src = ns_source(mms_u, mms.get("p"), nu, dim)
+            # divergence-free sanity (reference :143-146)
+            sv = [symbolic.X, symbolic.Y, symbolic.Z][:dim]
+            div_u = sp.simplify(
+                sum(sp.diff(symbolic.parse(e), v) for e, v in zip(mms_u, sv))
+            )
+            if div_u != 0 and sp.simplify(div_u) != 0:
+                raise ValueError(f"manufactured velocity not divergence-free: {div_u}")
+        else:
+            src = pde.get("source_term", [0.0] * dim)
+            if not isinstance(src, (list, tuple)):
+                src = [src] * dim
+        f_fns = [symbolic.lambdify_spatial(s, dim) for s in src]
+
+        opts = base.solver_opts(config)
+        init_mode = str(opts.get("init", "stokes")).lower()
+        snes_rtol = float(opts.get("rtol", 1e-10))
+        snes_atol = float(opts.get("atol", 1e-12))
+        snes_max_it = int(opts.get("max_it", 50))
+
+        mask_np = np.asarray(ctx.mask)
+        g_np = np.asarray(ctx.g)
+        phi = cb.phi
+        gphys = cb.grad_phys()
+        w_q = cb.wdetJ
+
+        A1_loc = local_vector_laplacian(cb, 1.0)  # scale by nu per rung
+        G_loc = local_divergence(cb, ctx.psi)
+        f_q = jnp.stack([f(ctx.qpts()) for f in f_fns], axis=-1)
+        b_u = scatter_add(local_vector_load(cb, f_q), dofmap_u, V.ndof)
+        b = jnp.concatenate([b_u, jnp.zeros(Q.ndof)])
+        mask_j, g_j = ctx.mask, ctx.g
+
+        def velocity_fields(x):
+            """(u_q, gradu_q) at quadrature points from the mixed vector."""
+            u = x[: V.ndof]
+            ue = u[dofmap_u].reshape(-1, nlu_s, dim)  # (c, nl, a)
+            u_qp = jnp.einsum("qi,cia->cqa", phi, ue)
+            gradu_qp = jnp.einsum("cqid,cia->cqad", gphys, ue)
+            return u_qp, gradu_qp
+
+        def residual(x):
+            u_qp, gradu_qp = velocity_fields(x)
+            conv_q = jnp.einsum("cqab,cqb->cqa", gradu_qp, u_qp)
+            r_conv = local_vector_load(cb, conv_q)  # (c, nlu*d)
+            base_apply = mixed.saddle_apply(
+                nu_cur[0] * A1_loc, G_loc, dofmap_u, dofmap_p, V.ndof, Q.ndof
+            )
+            r = base_apply(x)
+            r = r.at[: V.ndof].add(
+                scatter_add(r_conv, dofmap_u, V.ndof)
+            )
+            r = r - b
+            return jnp.where(mask_j, 0.0, r)
+
+        def jacobian_u_block(x):
+            u_qp, gradu_qp = velocity_fields(x)
+            # N1[(ia)(jb)] = int phi_i phi_j du_a/dx_b
+            N1 = jnp.einsum("qi,qj,cqab,cq->ciajb", phi, phi, gradu_qp, w_q)
+            # N2[(ia)(jb)] = delta_ab int phi_i (u . grad phi_j)
+            ug = jnp.einsum("cqjd,cqd->cqj", gphys, u_qp)
+            N2s = jnp.einsum("qi,cqj,cq->cij", phi, ug, w_q)
+            eye = jnp.eye(dim)
+            N = N1 + jnp.einsum("cij,ab->ciajb", N2s, eye)
+            c = N.shape[0]
+            return nu_cur[0] * A1_loc + N.reshape(c, nlu_s * dim, nlu_s * dim)
+
+        nu_cur = [nu]  # mutable closure cell for the continuation rung
+
+        def newton(x0, rtol, atol, max_it):
+            x = np.asarray(x0)
+            x[mask_np] = g_np[mask_np]
+            total_lin = 0
+            r = np.asarray(residual(jnp.asarray(x)))
+            rn0 = np.linalg.norm(r)
+            tol = max(rtol * rn0, atol)
+            rn = rn0
+            for it in range(max_it):
+                if rn <= tol:
+                    break
+                Ju = jacobian_u_block(jnp.asarray(x))
+                K = mixed.saddle_to_scipy(
+                    Ju, G_loc, V.dofmap, Q.dofmap_scalar, V.ndof, Q.ndof
+                )
+                delta = directmod.solve_direct_constrained(
+                    K, -r, mask_np, np.zeros(ctx.N)
+                )
+                total_lin += 1
+                # backtracking line search ('bt')
+                t = 1.0
+                for _ in range(10):
+                    xn = x + t * delta
+                    rn_new = np.linalg.norm(
+                        np.asarray(residual(jnp.asarray(xn)))
+                    )
+                    if rn_new <= (1.0 - 1e-4 * t) * rn:
+                        break
+                    t *= 0.5
+                x = x + t * delta
+                r = np.asarray(residual(jnp.asarray(x)))
+                rn = np.linalg.norm(r)
+            return x, rn, total_lin
+
+        def stokes_init(nu_init):
+            K = mixed.saddle_to_scipy(
+                np.asarray(nu_init * A1_loc),
+                G_loc,
+                V.dofmap,
+                Q.dofmap_scalar,
+                V.ndof,
+                Q.ndof,
+            )
+            return directmod.solve_direct_constrained(
+                K, np.asarray(b), mask_np, g_np
+            )
+
+        def run():
+            lin_solves = 0
+            if init_mode == "zero":
+                x = np.where(mask_np, g_np, 0.0)
+            elif init_mode == "exact":
+                if mms_u is None:
+                    raise ValueError("init='exact' requires a manufactured solution")
+                u_init = base.interpolate_nodal(V, list(mms_u))
+                x = np.concatenate([u_init, np.zeros(Q.ndof)])
+            elif init_mode == "continuation":
+                nu_start = float(opts.get("continuation_nu_start", 1.0))
+                n_steps = int(opts.get("continuation_steps", 8))
+                x = stokes_init(nu_start)
+                lin_solves += 1
+                for k in range(1, n_steps + 1):
+                    nu_cur[0] = nu_start * (nu / nu_start) ** (k / n_steps)
+                    x, _, nlin = newton(
+                        x, 1e-8, 1e-10, int(opts.get("max_it", 50))
+                    )
+                    lin_solves += nlin
+            else:  # 'stokes' default
+                x = stokes_init(nu)
+                lin_solves += 1
+
+            nu_cur[0] = nu
+            x, rn, nlin = newton(x, snes_rtol, snes_atol, snes_max_it)
+            lin_solves += nlin
+            grid = ctx.sample_velocity_magnitude(x)
+            return grid, {
+                "method": "newton",
+                "iterations": lin_solves,
+                "residual": float(rn),
+                "init_mode": init_mode,
+            }
+
+        (fem_grid, info), t_warm, t_cold = base.timed_run(run)
+        baseline_time = ctx.t_setup + t_warm
+
+        baseline_error = 1e-2
+        if _compute_baseline:
+            err = scalar.mms_baseline_error(config, fem_grid)
+            if err is None and "reference_config" in config:
+                ref_cfg = scalar.merge_reference_config(config)
+                # robustness cap on the reference re-solve, mirroring the
+                # reference's own NS override (dealii_oracle/oracle.py:425-439:
+                # reference capped at resolution 96, P2-P1) — direct solves on
+                # higher-degree Taylor-Hood blow memory/time without improving
+                # the baseline comparison
+                mres = int(ref_cfg.get("mesh", {}).get("resolution", 96))
+                ref_cfg.setdefault("mesh", {})["resolution"] = min(mres, 96)
+                fem_cfg = ref_cfg.setdefault("fem", {})
+                fem_cfg["degree_u"] = min(int(fem_cfg.get("degree_u", 2)), 2)
+                fem_cfg["degree_p"] = min(int(fem_cfg.get("degree_p", 1)), 1)
+                ref = self.solve(ref_cfg, _compute_baseline=False)
+                err = compute_rel_L2_grid(fem_grid, ref.reference)
+            baseline_error = err if err is not None else 1e-2
+
+        solver_info = {
+            "library": "pdebench_tpu",
+            "pde": "navier_stokes",
+            "mesh_resolution": int(config.get("mesh", {}).get("resolution", 0)),
+            "element_degree": V.degree,
+            "degree_p": Q.degree,
+            "viscosity": nu,
+            "snes_rtol": snes_rtol,
+            "snes_max_it": snes_max_it,
+            "ksp_type": "preonly",
+            "pc_type": "lu",
+            "rtol": snes_rtol,
+            "t_setup": ctx.t_setup,
+            "t_cold": t_cold,
+            **info,
+        }
+        return OracleResult(
+            baseline_error=float(baseline_error),
+            baseline_time=float(baseline_time),
+            reference=fem_grid,
+            solver_info=solver_info,
+            num_dofs=ctx.N,
+        )

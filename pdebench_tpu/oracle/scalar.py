@@ -63,11 +63,17 @@ class ScalarContext:
             self.g = jnp.asarray(g)
 
 
-def setup_scalar(config: Dict[str, Any], t0: Optional[float] = None) -> ScalarContext:
+def setup_scalar(
+    config: Dict[str, Any],
+    t0: Optional[float] = None,
+    ncomp: int = 1,
+) -> ScalarContext:
     t_start = time.perf_counter()
     mesh = base.build_mesh(config["domain"], config.get("mesh", {}))
     degree = int(config.get("fem", {}).get("degree", 1))
-    space = FunctionSpace(mesh, degree)
+    if ncomp < 0:  # vector space matching the mesh dimension
+        ncomp = mesh.dim
+    space = FunctionSpace(mesh, degree, ncomp=ncomp)
     cb = cell_batch(mesh, degree)
     grid = config["output"]["grid"]
     pts, _ = sampling.grid_points(grid)

@@ -1,0 +1,159 @@
+"""Stokes oracle: steady incompressible Stokes, Taylor-Hood P2-P1.
+
+  -nu Lap(u) + grad(p) = f,  div(u) = 0
+  a((u,p),(v,q)) = nu grad u : grad v - p div v - q div u
+
+Parity (reference: pdebench/oracle/stokes.py:130-391): Taylor-Hood
+spaces from fem.degree_u/degree_p; velocity Dirichlet segments via the
+side-selector DSL; pressure pinned at the dof nearest the origin
+(:233-251); MMS source f = -nu Lap(u_exact) + grad(p_exact); the output
+field is velocity magnitude. Solver routes: preonly/lu -> host SuperLU
+(UMFPACK/MUMPS role), minres -> device MINRES with the block-diagonal
+diag(A) (+) nu Mp^-1 preconditioner.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import jax.numpy as jnp
+import numpy as np
+import sympy as sp
+
+from ..fem import symbolic
+from ..fem.assemble import (
+    constrained_diag,
+    constrained_operator,
+    constrained_rhs,
+    local_divergence,
+    local_vector_laplacian,
+    local_vector_load,
+    scatter_add,
+)
+from ..solvers import direct as directmod
+from ..solvers.krylov import minres
+from . import base, mixed, scalar
+from .types import OracleResult, compute_rel_L2_grid
+
+
+def stokes_source(u_exprs: List, p_expr, nu: float, dim: int) -> List[sp.Expr]:
+    """f = -nu Lap(u_exact) + grad(p_exact) componentwise."""
+    sv = [symbolic.X, symbolic.Y, symbolic.Z][:dim]
+    u = [symbolic.parse(e) for e in u_exprs]
+    p = symbolic.parse(p_expr if p_expr is not None else 0)
+    return [
+        sp.simplify(-nu * symbolic.laplacian(u[a], dim) + sp.diff(p, sv[a]))
+        for a in range(dim)
+    ]
+
+
+class StokesSolver:
+    def solve(
+        self, config: Dict[str, Any], _compute_baseline: bool = True
+    ) -> OracleResult:
+        pde = config["pde"]
+        mms = pde.get("manufactured_solution", {})
+        mms_u = mms.get("u")
+        if mms_u is not None:
+            config = scalar.override_bc_with_mms(config, list(mms_u))
+            pde = config["pde"]
+        nu = float(pde.get("pde_params", {}).get("nu", 1.0))
+
+        ctx = mixed.setup_taylor_hood(config)
+        dim = ctx.dim
+
+        if mms_u is not None:
+            src = stokes_source(mms_u, mms.get("p"), nu, dim)
+        else:
+            src = pde.get("source_term", [0.0] * dim)
+            if not isinstance(src, (list, tuple)):
+                src = [src] * dim
+        f_fns = [symbolic.lambdify_spatial(s, dim) for s in src]
+        opts = base.solver_opts(config)
+        ksp = str(opts.get("ksp_type", "minres")).lower()
+        pc = str(opts.get("pc_type", "jacobi")).lower()
+        use_direct = ksp == "preonly" or pc in ("lu", "cholesky", "mumps")
+        rtol = float(opts.get("rtol", 1e-10))
+        atol = float(opts.get("atol", 1e-12))
+
+        V, Q, cb = ctx.V, ctx.Q, ctx.cb
+        dofmap_u = jnp.asarray(V.dofmap)
+        dofmap_p = jnp.asarray(Q.dofmap_scalar)
+
+        def run():
+            A_loc = local_vector_laplacian(cb, nu)
+            G_loc = local_divergence(cb, ctx.psi)
+            f_q = jnp.stack([f(ctx.qpts()) for f in f_fns], axis=-1)
+            b_u = scatter_add(local_vector_load(cb, f_q), dofmap_u, V.ndof)
+            b = jnp.concatenate([b_u, jnp.zeros(Q.ndof)])
+
+            apply_raw = mixed.saddle_apply(
+                A_loc, G_loc, dofmap_u, dofmap_p, V.ndof, Q.ndof
+            )
+            info: Dict[str, Any] = {"ksp_type": ksp, "pc_type": pc, "rtol": rtol}
+            if not use_direct:
+                A = constrained_operator(apply_raw, ctx.mask)
+                rhs = constrained_rhs(apply_raw, b, ctx.mask, ctx.g)
+                M = mixed.saddle_diag_precond(
+                    A_loc, cb, ctx.psi, dofmap_u, dofmap_p,
+                    V.ndof, Q.ndof, nu, ctx.mask,
+                )
+                x0 = jnp.where(ctx.mask, ctx.g, 0.0)
+                x, kinfo = minres(
+                    A, rhs, x0=x0, M=M, rtol=rtol, atol=atol, maxiter=30000
+                )
+                if bool(kinfo.converged):
+                    info.update(
+                        method="minres",
+                        iterations=int(kinfo.iterations),
+                        residual=float(kinfo.residual),
+                    )
+                    grid = ctx.sample_velocity_magnitude(np.asarray(x))
+                    return grid, info
+                info["iterative_failed"] = {
+                    "iterations": int(kinfo.iterations),
+                    "residual": float(kinfo.residual),
+                }
+            K = mixed.saddle_to_scipy(
+                A_loc, G_loc, V.dofmap, Q.dofmap_scalar, V.ndof, Q.ndof
+            )
+            x = directmod.solve_direct_constrained(
+                K, np.asarray(b), np.asarray(ctx.mask), np.asarray(ctx.g)
+            )
+            info.update(method="lu", iterations=1)
+            grid = ctx.sample_velocity_magnitude(x)
+            return grid, info
+
+        (fem_grid, info), t_warm, t_cold = base.timed_run(run)
+        baseline_time = ctx.t_setup + t_warm
+
+        baseline_error = 1e-2
+        if _compute_baseline:
+            err = scalar.mms_baseline_error(config, fem_grid)
+            if err is None and "reference_config" in config:
+                ref = self.solve(
+                    scalar.merge_reference_config(config),
+                    _compute_baseline=False,
+                )
+                err = compute_rel_L2_grid(fem_grid, ref.reference)
+            baseline_error = err if err is not None else 1e-2
+
+        solver_info = {
+            "library": "pdebench_tpu",
+            "pde": "stokes",
+            "mesh_resolution": int(config.get("mesh", {}).get("resolution", 0)),
+            "element_degree": ctx.V.degree,
+            "degree_p": ctx.Q.degree,
+            "viscosity": nu,
+            "pressure_fixing": "point",
+            "t_setup": ctx.t_setup,
+            "t_cold": t_cold,
+            **info,
+        }
+        return OracleResult(
+            baseline_error=float(baseline_error),
+            baseline_time=float(baseline_time),
+            reference=fem_grid,
+            solver_info=solver_info,
+            num_dofs=ctx.N,
+        )

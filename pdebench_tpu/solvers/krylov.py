@@ -203,6 +203,100 @@ def gmres(
     return x, KrylovInfo(k, res, res <= tol)
 
 
+def minres(
+    A: Callable,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    M: Optional[Callable] = None,
+    rtol: float = 1e-10,
+    atol: float = 1e-14,
+    maxiter: int = 10000,
+):
+    """Preconditioned MINRES for symmetric (possibly indefinite) systems.
+
+    The preconditioner M must be SPD (applied as M ~ P^{-1}). Standard
+    Lanczos + Givens implementation with static shapes; this is the
+    device path for the reference's minres+hypre Stokes cases
+    (oracle/stokes.py:253-257).
+    """
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if M is None:
+        M = lambda r: r
+    tol = _tolerance(b, rtol, atol)
+    eps = jnp.asarray(1e-300, dtype=b.dtype)
+
+    def run(x):
+        r1_ = b - A(x)
+        y_ = M(r1_)
+        beta1_ = jnp.sqrt(jnp.maximum(jnp.vdot(r1_, y_), 0.0))
+
+        init = dict(
+            x=x,
+            r1=r1_,
+            r2=r1_,
+            y=y_,
+            w=jnp.zeros_like(b),
+            w2=jnp.zeros_like(b),
+            oldb=jnp.asarray(0.0, b.dtype),
+            beta=beta1_,
+            dbar=jnp.asarray(0.0, b.dtype),
+            epsln=jnp.asarray(0.0, b.dtype),
+            phibar=beta1_,
+            cs=jnp.asarray(-1.0, b.dtype),
+            sn=jnp.asarray(0.0, b.dtype),
+            k=jnp.asarray(0, jnp.int32),
+        )
+
+        def cond_fn(s):
+            return jnp.logical_and(s["k"] < maxiter, s["phibar"] > tol)
+
+        def body_fn(s):
+            beta = s["beta"]
+            v = s["y"] / jnp.where(beta < eps, eps, beta)
+            yv = A(v)
+            yv = yv - jnp.where(
+                s["k"] >= 1, beta / jnp.where(s["oldb"] < eps, eps, s["oldb"]), 0.0
+            ) * s["r1"]
+            alfa = jnp.vdot(v, yv)
+            yv = yv - (alfa / jnp.where(beta < eps, eps, beta)) * s["r2"]
+            r1n, r2n = s["r2"], yv
+            yn = M(yv)
+            oldb = beta
+            betan = jnp.sqrt(jnp.maximum(jnp.vdot(yv, yn), 0.0))
+
+            oldeps = s["epsln"]
+            delta = s["cs"] * s["dbar"] + s["sn"] * alfa
+            gbar = s["sn"] * s["dbar"] - s["cs"] * alfa
+            epsln = s["sn"] * betan
+            dbar = -s["cs"] * betan
+
+            gamma = jnp.sqrt(gbar * gbar + betan * betan)
+            gamma = jnp.where(gamma < eps, eps, gamma)
+            cs = gbar / gamma
+            sn = betan / gamma
+            phi = cs * s["phibar"]
+            phibar = sn * s["phibar"]
+
+            w1 = s["w2"]
+            w2 = s["w"]
+            wn = (v - oldeps * w1 - delta * w2) / gamma
+            xn = s["x"] + phi * wn
+
+            return dict(
+                x=xn, r1=r1n, r2=r2n, y=yn, w=wn, w2=w2, oldb=oldb,
+                beta=betan, dbar=dbar, epsln=epsln, phibar=phibar,
+                cs=cs, sn=sn, k=s["k"] + 1,
+            )
+
+        out = jax.lax.while_loop(cond_fn, body_fn, init)
+        return out["x"], out["k"]
+
+    x, k = run(x0)
+    res = jnp.linalg.norm(b - A(x))
+    return x, KrylovInfo(k, res, res <= jnp.linalg.norm(b) * rtol + atol)
+
+
 def jacobi_preconditioner(diag: jnp.ndarray) -> Callable:
     safe = jnp.where(jnp.abs(diag) > 1e-300, diag, 1.0)
     inv = 1.0 / safe

@@ -1,0 +1,152 @@
+"""MMS tests for vector and mixed (saddle-point) oracles at small sizes."""
+
+import numpy as np
+import pytest
+
+from pdebench_tpu.oracle import OracleSolver
+
+S = OracleSolver()
+
+
+def _grid(n=32):
+    return {"bbox": [0, 1, 0, 1], "nx": n, "ny": n}
+
+
+def test_linear_elasticity_mms():
+    cfg = {
+        "pde": {
+            "type": "linear_elasticity",
+            "pde_params": {"E": 1.0, "nu": 0.3},
+            "manufactured_solution": {
+                "u": ["sin(pi*x)*sin(pi*y)", "sin(pi*x)*cos(pi*y)"]
+            },
+        },
+        "domain": {"type": "unit_square"},
+        "mesh": {"resolution": 16, "cell_type": "triangle"},
+        "fem": {"family": "Lagrange", "degree": 2},
+        "bc": {"dirichlet": {"on": "all", "value": ["0", "0"]}},
+        "output": {"format": "npz", "field": "displacement_magnitude", "grid": _grid()},
+        "oracle_solver": {"ksp_type": "cg", "pc_type": "jacobi", "rtol": 1e-10},
+    }
+    r = S.solve(cfg)
+    assert r.baseline_error < 1e-3
+
+
+def test_biharmonic_split():
+    cfg = {
+        "pde": {
+            "type": "biharmonic",
+            "manufactured_solution": {"u": "sin(pi*x)*sin(pi*y)"},
+        },
+        "domain": {"type": "unit_square"},
+        "mesh": {"resolution": 32, "cell_type": "triangle"},
+        "fem": {"family": "Lagrange", "degree": 1},
+        "bc": {"dirichlet": {"on": "all", "value": "0"}},
+        "output": {"format": "npz", "field": "scalar", "grid": _grid()},
+        "oracle_solver": {"ksp_type": "cg", "pc_type": "jacobi", "rtol": 1e-10},
+    }
+    r = S.solve(cfg)
+    # split P1 formulation converges at O(h^2): ~5e-3 at res 32
+    assert r.baseline_error < 8e-3
+
+
+@pytest.mark.parametrize(
+    "solver",
+    [
+        {"ksp_type": "preonly", "pc_type": "lu", "rtol": 1e-10,
+         "pressure_fixing": "point"},
+        {"ksp_type": "minres", "pc_type": "jacobi", "rtol": 1e-10,
+         "pressure_fixing": "point"},
+    ],
+)
+def test_stokes_taylor_hood(solver):
+    cfg = {
+        "pde": {
+            "type": "stokes",
+            "pde_params": {"nu": 1.0},
+            "manufactured_solution": {
+                "u": ["pi*cos(pi*y)*sin(pi*x)", "-pi*cos(pi*x)*sin(pi*y)"],
+                "p": "cos(pi*x)*cos(pi*y)",
+            },
+        },
+        "domain": {"type": "unit_square"},
+        "mesh": {"resolution": 16, "cell_type": "triangle"},
+        "fem": {"degree_u": 2, "degree_p": 1},
+        "bc": {"dirichlet": {"on": "all", "value": ["0", "0"]}},
+        "output": {"format": "npz", "field": "velocity_magnitude", "grid": _grid()},
+        "oracle_solver": solver,
+    }
+    r = S.solve(cfg)
+    assert r.baseline_error < 1e-3, r.solver_info
+
+
+def test_navier_stokes_newton_mms():
+    cfg = {
+        "pde": {
+            "type": "navier_stokes",
+            "pde_params": {"nu": 0.5},
+            "manufactured_solution": {
+                "u": ["pi*cos(pi*y)*sin(pi*x)", "-pi*cos(pi*x)*sin(pi*y)"],
+                "p": "0",
+            },
+        },
+        "domain": {"type": "unit_square"},
+        "mesh": {"resolution": 12, "cell_type": "triangle"},
+        "fem": {"degree_u": 2, "degree_p": 1},
+        "bc": {"dirichlet": {"on": "all", "value": ["0", "0"]}},
+        "output": {"format": "npz", "field": "velocity_magnitude", "grid": _grid()},
+        "oracle_solver": {"rtol": 1e-9, "atol": 1e-11, "max_it": 30, "init": "stokes"},
+    }
+    r = S.solve(cfg)
+    assert r.baseline_error < 2e-3, r.solver_info
+
+
+def test_navier_stokes_lid_driven_segments():
+    """Segment BCs (lid-driven cavity) exercise the selector DSL."""
+    cfg = {
+        "pde": {
+            "type": "navier_stokes",
+            "pde_params": {"nu": 0.1},
+            "source_term": ["0.0", "0.0"],
+        },
+        "domain": {"type": "unit_square"},
+        "mesh": {"resolution": 12, "cell_type": "triangle"},
+        "fem": {"degree_u": 2, "degree_p": 1},
+        "bc": {
+            "dirichlet": [
+                {"on": "y1", "value": ["1.0", "0.0"]},
+                {"on": "y0", "value": ["0.0", "0.0"]},
+                {"on": "x0", "value": ["0.0", "0.0"]},
+                {"on": "x1", "value": ["0.0", "0.0"]},
+            ]
+        },
+        "output": {"format": "npz", "field": "velocity_magnitude", "grid": _grid()},
+        "oracle_solver": {"rtol": 1e-8, "atol": 1e-10, "max_it": 40, "init": "stokes"},
+        "reference_config": {
+            "mesh": {"resolution": 20, "cell_type": "triangle"},
+            "fem": {"degree_u": 2, "degree_p": 1},
+            "oracle_solver": {"rtol": 1e-9, "init": "stokes", "max_it": 40},
+        },
+    }
+    r = S.solve(cfg)
+    # coarse-vs-fine comparison: just expect a plausible relative error
+    assert r.baseline_error < 0.2
+    assert np.isfinite(r.reference).all()
+
+
+def test_darcy_elliptic():
+    cfg = {
+        "pde": {
+            "type": "darcy",
+            "coefficients": {"kappa": {"type": "expr", "expr": "1 + 0.5*x"}},
+            "manufactured_solution": {"p": "sin(pi*x)*sin(pi*y)"},
+        },
+        "domain": {"type": "unit_square"},
+        "mesh": {"resolution": 24, "cell_type": "triangle"},
+        "fem": {"family": "Lagrange", "degree": 1},
+        "bc": {"dirichlet": {"on": "all", "value": "0"}},
+        "output": {"format": "npz", "field": "scalar", "grid": _grid()},
+        "oracle_solver": {"ksp_type": "cg", "pc_type": "jacobi", "rtol": 1e-10},
+    }
+    r = S.solve(cfg)
+    assert r.baseline_error < 5e-3
