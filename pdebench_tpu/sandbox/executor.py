@@ -190,6 +190,13 @@ def execute_agent_function(
             str(case_path),
             str(outdir_p),
         ]
+        # the jax solver-library contract promises `pdebench_tpu` is
+        # importable inside the sandbox
+        env = dict(os.environ)
+        repo_root = str(Path(__file__).resolve().parents[2])
+        env["PYTHONPATH"] = (
+            repo_root + os.pathsep + env.get("PYTHONPATH", "")
+        ).rstrip(os.pathsep)
         t0 = time.time()
         try:
             proc = subprocess.run(
@@ -198,6 +205,7 @@ def execute_agent_function(
                 text=True,
                 timeout=timeout_sec,
                 cwd=tmp,
+                env=env,
             )
         except subprocess.TimeoutExpired as e:
             return ExecutionResult(
