@@ -50,7 +50,19 @@ class HelmholtzSolver:
             A = K - k2 * M
             op = LocalOperator(A, ctx.space.dofmap_scalar, ctx.space.ndof)
             b = ctx.load_vector(f_fn(ctx.qpts()))
-            x, info = solve_linear(op, b, ctx.mask, ctx.g, opts, symmetric=False)
+            run_opts = dict(opts)
+            if op.ndof >= 20000:
+                # precondition the indefinite operator with AMG built on
+                # the SHIFTED Laplacian K + k^2 M (standard shifted-
+                # Laplacian trick; AMG on K - k^2 M itself diverges)
+                shift_op = LocalOperator(
+                    K + k2 * M, ctx.space.dofmap_scalar, ctx.space.ndof
+                )
+                run_opts["_amg_matrix"] = shift_op.to_scipy()
+            x, info = solve_linear(
+                op, b, ctx.mask, ctx.g, run_opts, symmetric=False
+            )
+            info.pop("_amg_matrix", None)
             grid = ctx.sample(x)
             return grid, info
 

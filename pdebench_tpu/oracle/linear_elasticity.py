@@ -87,7 +87,17 @@ class LinearElasticitySolver:
             b = scatter_add(
                 local_vector_load(cb, f_q), jnp.asarray(space.dofmap), space.ndof
             )
-            x, info = solve_linear(op, b, ctx.mask, ctx.g, opts, symmetric=True)
+            run_opts = dict(opts)
+            if op.ndof >= 20000:
+                from ..solvers.amg import rigid_body_modes
+
+                # elasticity AMG needs rigid-body near-nullspace vectors
+                # and node-block aggregation to handle nu -> 1/2
+                run_opts["_amg_B"] = rigid_body_modes(
+                    space.dof_coords, space.ncomp
+                )
+                run_opts["_amg_block"] = space.ncomp
+            x, info = solve_linear(op, b, ctx.mask, ctx.g, run_opts, symmetric=True)
             grid = ctx.sample(x)
             return grid, info
 

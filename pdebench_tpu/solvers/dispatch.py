@@ -105,6 +105,41 @@ def krylov_method(opts: Dict[str, Any], symmetric: bool = True) -> str:
     return "gmres"
 
 
+# preconditioner names that map to the device AMG (the reference's
+# hypre/ilu roles); below this size Jacobi wins on setup cost
+_AMG_PC = ("hypre", "boomeramg", "gamg", "amg", "ml", "ilu", "sor")
+_AMG_MIN_DOFS = 20000
+
+
+def _build_preconditioner(op, mask, pc: str, opts: Dict[str, Any]):
+    """(M closure, name). AMG for hypre/ilu-class pc on large systems,
+    else Jacobi."""
+    from .amg import setup_amg_masked
+    from .krylov import jacobi_preconditioner
+    from ..fem.assemble import constrained_diag
+
+    if pc in _AMG_PC and op.ndof >= _AMG_MIN_DOFS:
+        try:
+            # operator override: e.g. Helmholtz preconditions with the
+            # shifted Laplacian K + k^2 M rather than the indefinite A
+            A_pc = opts.get("_amg_matrix")
+            if A_pc is None:
+                A_pc = op.to_scipy()
+            M = setup_amg_masked(
+                A_pc,
+                np.asarray(mask),
+                B=opts.get("_amg_B"),
+                block_size=int(opts.get("_amg_block", 1)),
+            )
+            return M, "amg"
+        except Exception:
+            pass
+    M = jacobi_preconditioner(
+        constrained_diag(op.diagonal(), mask)
+    )
+    return M, "jacobi"
+
+
 def solve_linear(
     op: LocalOperator,
     b: jnp.ndarray,
@@ -129,33 +164,30 @@ def solve_linear(
     info: Dict[str, Any] = {"ksp_type": ksp, "pc_type": pc, "rtol": rtol}
 
     if not use_direct:
-        if ksp in ("cg", "minres") and symmetric:
-            method = "cg"
-        elif ksp == "bicgstab":
-            method = "bicgstab"
-        else:
-            method = "gmres"
-        x, iters, res, conv = _iterative(
-            op.A,
-            op.dofmap,
-            b,
-            mask,
-            g,
-            ndof=op.ndof,
-            method=method,
-            rtol=rtol,
-            atol=atol,
-            maxiter=maxiter,
-        )
-        if bool(conv):
+        method = krylov_method(opts, symmetric)
+        from .krylov import bicgstab as _bicg
+        from .krylov import cg as _cg
+        from .krylov import gmres as _gmres
+
+        M, pc_used = _build_preconditioner(op, mask, pc, opts)
+        info["pc_used"] = pc_used
+        raw = lambda v: _apply_local(op.A, op.dofmap, op.ndof, v)
+        A = constrained_operator(raw, mask)
+        rhs = constrained_rhs(raw, b, mask, g)
+        x0 = jnp.where(mask, g, 0.0)
+        kry = {"cg": _cg, "bicgstab": _bicg, "gmres": _gmres}[method]
+        x, kinfo = kry(A, rhs, x0=x0, M=M, rtol=rtol, atol=atol, maxiter=maxiter)
+        if bool(kinfo.converged):
             info.update(
-                method=method, iterations=int(iters), residual=float(res)
+                method=method,
+                iterations=int(kinfo.iterations),
+                residual=float(kinfo.residual),
             )
             return np.asarray(x), info
         info["iterative_failed"] = {
             "method": method,
-            "iterations": int(iters),
-            "residual": float(res),
+            "iterations": int(kinfo.iterations),
+            "residual": float(kinfo.residual),
         }
 
     # host sparse-direct path (or fallback)

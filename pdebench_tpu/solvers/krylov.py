@@ -55,10 +55,15 @@ def cg(
     z0 = M(r0)
     p0 = z0
     rz0 = jnp.vdot(r0, z0)
+    # divergence guard: a bad preconditioner must not burn maxiter
+    blowup = 1e6 * (jnp.linalg.norm(r0) + jnp.linalg.norm(b)) + 1e300 * 0.0
 
     def cond(state):
         x, r, z, p, rz, k = state
-        return jnp.logical_and(k < maxiter, jnp.linalg.norm(r) > tol)
+        rn = jnp.linalg.norm(r)
+        return jnp.logical_and(
+            jnp.logical_and(k < maxiter, rn > tol), rn < blowup
+        )
 
     def body(state):
         x, r, z, p, rz, k = state

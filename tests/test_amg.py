@@ -1,0 +1,90 @@
+"""AMG preconditioner tests: hierarchy health and Krylov acceleration."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pdebench_tpu.fem.assemble import (
+    LocalOperator,
+    cell_batch,
+    constrained_diag,
+    constrained_operator,
+    constrained_rhs,
+    local_elasticity,
+    local_stiffness,
+)
+from pdebench_tpu.fem.mesh import unit_square_mesh
+from pdebench_tpu.fem.spaces import FunctionSpace
+from pdebench_tpu.solvers.amg import (
+    constrained_csr,
+    rigid_body_modes,
+    setup_amg,
+    setup_amg_masked,
+)
+from pdebench_tpu.solvers.krylov import cg, jacobi_preconditioner
+
+
+def _poisson_system(n=48, degree=1):
+    mesh = unit_square_mesh(n)
+    space = FunctionSpace(mesh, degree)
+    cb = cell_batch(mesh, degree)
+    K = local_stiffness(cb)
+    op = LocalOperator(K, space.dofmap_scalar, space.ndof)
+    mask = np.zeros(space.ndof, bool)
+    mask[space.boundary_scalar_dofs] = True
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal(space.ndof))
+    return op, mask, b, space
+
+
+def test_amg_coarsens_aggressively():
+    op, mask, _, _ = _poisson_system(48)
+    free = ~mask
+    A_ff = constrained_csr(op.to_scipy(), mask)[np.nonzero(free)[0]][
+        :, np.nonzero(free)[0]
+    ]
+    amg = setup_amg(A_ff)
+    sizes = [lv.A.shape[0] for lv in amg.levels]
+    # each level should shrink by a healthy factor
+    for a, b in zip(sizes, sizes[1:] + [amg.coarse_inv.shape[0]]):
+        assert b < 0.5 * a, sizes
+
+
+def test_amg_accelerates_cg():
+    op, mask, b, _ = _poisson_system(48)
+    mask_j = jnp.asarray(mask)
+    A = constrained_operator(op, mask_j)
+    rhs = constrained_rhs(op, b, mask_j, jnp.zeros(op.ndof))
+
+    Mj = jacobi_preconditioner(constrained_diag(op.diagonal(), mask_j))
+    _, ij = cg(A, rhs, M=Mj, rtol=1e-10, maxiter=5000)
+    Ma = setup_amg_masked(op.to_scipy(), mask)
+    xa, ia = cg(A, rhs, M=Ma, rtol=1e-10, maxiter=500)
+    assert bool(ia.converged)
+    assert int(ia.iterations) < 0.35 * int(ij.iterations), (
+        int(ia.iterations),
+        int(ij.iterations),
+    )
+    # preconditioning must not change the solution
+    xj, _ = cg(A, rhs, M=Mj, rtol=1e-12, maxiter=20000)
+    np.testing.assert_allclose(np.asarray(xa), np.asarray(xj), atol=1e-7)
+
+
+def test_amg_elasticity_rigid_body_modes():
+    mesh = unit_square_mesh(24)
+    space = FunctionSpace(mesh, 2, ncomp=2)
+    cb = cell_batch(mesh, 2)
+    # near-incompressible: lam/mu large
+    K = local_elasticity(cb, 1.0, 50.0)
+    op = LocalOperator(K, space.dofmap, space.ndof)
+    mask = np.zeros(space.ndof, bool)
+    bd = space.boundary_scalar_dofs
+    mask[(bd[:, None] * 2 + np.arange(2)[None, :]).reshape(-1)] = True
+    rng = np.random.default_rng(1)
+    b = jnp.asarray(rng.standard_normal(space.ndof))
+    mask_j = jnp.asarray(mask)
+    A = constrained_operator(op, mask_j)
+    rhs = constrained_rhs(op, b, mask_j, jnp.zeros(op.ndof))
+    B = rigid_body_modes(space.dof_coords, 2)
+    M = setup_amg_masked(op.to_scipy(), mask, B=B, block_size=2)
+    x, info = cg(A, rhs, M=M, rtol=1e-9, maxiter=2000)
+    assert bool(info.converged), int(info.iterations)
