@@ -79,6 +79,16 @@ class LinearElasticitySolver:
 
         space, cb = ctx.space, ctx.cb
 
+        # one-time solver options (holds the jit/preconditioner cache)
+        run_opts = dict(opts)
+        if space.ndof >= 20000:
+            from ..solvers.amg import rigid_body_modes
+
+            # elasticity AMG needs rigid-body near-nullspace vectors
+            # and node-block aggregation to handle nu -> 1/2
+            run_opts["_amg_B"] = rigid_body_modes(space.dof_coords, space.ncomp)
+            run_opts["_amg_block"] = space.ncomp
+
         def run():
             K = local_elasticity(cb, mu, lam)
             op = LocalOperator(K, space.dofmap, space.ndof)
@@ -87,16 +97,6 @@ class LinearElasticitySolver:
             b = scatter_add(
                 local_vector_load(cb, f_q), jnp.asarray(space.dofmap), space.ndof
             )
-            run_opts = dict(opts)
-            if op.ndof >= 20000:
-                from ..solvers.amg import rigid_body_modes
-
-                # elasticity AMG needs rigid-body near-nullspace vectors
-                # and node-block aggregation to handle nu -> 1/2
-                run_opts["_amg_B"] = rigid_body_modes(
-                    space.dof_coords, space.ncomp
-                )
-                run_opts["_amg_block"] = space.ncomp
             x, info = solve_linear(op, b, ctx.mask, ctx.g, run_opts, symmetric=True)
             grid = ctx.sample(x)
             return grid, info

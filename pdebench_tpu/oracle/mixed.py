@@ -177,6 +177,50 @@ def saddle_diag_precond(
     return lambda r: inv * r
 
 
+def saddle_amg_precond(
+    A_loc: jnp.ndarray,
+    cb: CellBatch,
+    psi: jnp.ndarray,
+    dofmap_u: jnp.ndarray,
+    dofmap_p: jnp.ndarray,
+    nu_dofs: int,
+    np_dofs: int,
+    nu_visc: float,
+    mask: jnp.ndarray,
+) -> Callable:
+    """Block preconditioner AMG(A) (+) nu * lumped(Mp)^-1 for MINRES.
+
+    The velocity block gets one SA-AMG V-cycle (SPD, so MINRES stays
+    valid); the pressure Schur complement is approximated by the scaled
+    lumped pressure mass as in saddle_diag_precond. Falls back to the
+    diagonal preconditioner if the hierarchy can't be built.
+    """
+    from ..fem.assemble import LocalOperator
+    from ..solvers.amg import setup_amg_masked
+
+    mask_np = np.asarray(mask)
+    mask_u = mask_np[:nu_dofs]
+    op_u = LocalOperator(A_loc, np.asarray(dofmap_u), nu_dofs)
+    try:
+        amg_u = setup_amg_masked(op_u.to_scipy(), mask_u)
+    except Exception:
+        return saddle_diag_precond(
+            A_loc, cb, psi, dofmap_u, dofmap_p, nu_dofs, np_dofs,
+            nu_visc, mask,
+        )
+    Mp = jnp.einsum("qi,qj,cq->cij", psi, psi, cb.wdetJ)
+    dMp = scatter_add(jnp.einsum("cii->ci", Mp), dofmap_p, np_dofs)
+    dMp = dMp / max(nu_visc, 1e-300)
+    mask_p = jnp.asarray(mask_np[nu_dofs:])
+    dMp = jnp.where(mask_p, 1.0, dMp)
+    inv_p = 1.0 / jnp.where(jnp.abs(dMp) > 1e-300, dMp, 1.0)
+
+    def M(r):
+        return jnp.concatenate([amg_u(r[:nu_dofs]), inv_p * r[nu_dofs:]])
+
+    return M
+
+
 def saddle_to_scipy(
     A_loc: np.ndarray,
     G_loc: np.ndarray,

@@ -169,14 +169,38 @@ def solve_linear(
         from .krylov import cg as _cg
         from .krylov import gmres as _gmres
 
-        M, pc_used = _build_preconditioner(op, mask, pc, opts)
+        # Per-solve jit cache: lax.while_loop recompiles on every EAGER
+        # call, so the warm pass of timed_run would re-pay compilation.
+        # The oracle's timing contract (warm compute, compile excluded)
+        # needs the second identical call to hit the jit cache. Keyed by
+        # method/shape/constraint-set so e.g. biharmonic's two different
+        # BC masks don't collide.
+        cache = opts.setdefault("_jit_cache", {})
+        mask_np = np.asarray(mask)
+        key = (
+            method,
+            op.ndof,
+            int(mask_np.sum()),
+            int(mask_np.argmax()),
+        )
+        if key not in cache:
+            M, pc_used = _build_preconditioner(op, mask, pc, opts)
+            kry = {"cg": _cg, "bicgstab": _bicg, "gmres": _gmres}[method]
+            dofmap_c = op.dofmap
+
+            def _solve(A_local, b_in, mask_in, g_in):
+                raw = lambda v: _apply_local(A_local, dofmap_c, op.ndof, v)
+                A = constrained_operator(raw, mask_in)
+                rhs = constrained_rhs(raw, b_in, mask_in, g_in)
+                x0 = jnp.where(mask_in, g_in, 0.0)
+                return kry(
+                    A, rhs, x0=x0, M=M, rtol=rtol, atol=atol, maxiter=maxiter
+                )
+
+            cache[key] = (jax.jit(_solve), pc_used)
+        solver, pc_used = cache[key]
         info["pc_used"] = pc_used
-        raw = lambda v: _apply_local(op.A, op.dofmap, op.ndof, v)
-        A = constrained_operator(raw, mask)
-        rhs = constrained_rhs(raw, b, mask, g)
-        x0 = jnp.where(mask, g, 0.0)
-        kry = {"cg": _cg, "bicgstab": _bicg, "gmres": _gmres}[method]
-        x, kinfo = kry(A, rhs, x0=x0, M=M, rtol=rtol, atol=atol, maxiter=maxiter)
+        x, kinfo = solver(op.A, b, mask, g)
         if bool(kinfo.converged):
             info.update(
                 method=method,

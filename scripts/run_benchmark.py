@@ -41,6 +41,10 @@ sys.path.insert(0, str(REPO_ROOT))
 
 import jax  # noqa: E402
 
+# this image force-loads a TPU plugin via sitecustomize, so JAX_PLATFORMS
+# in the environment is ignored; honor an explicit override here
+if os.environ.get("PDEBENCH_TPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["PDEBENCH_TPU_PLATFORM"])
 jax.config.update("jax_enable_x64", True)
 
 from pdebench_tpu.analysis import ErrorClassifier, GateAnalyzer  # noqa: E402

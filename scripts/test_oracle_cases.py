@@ -27,8 +27,14 @@ import numpy as np
 REPO_ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO_ROOT))
 
+import os  # noqa: E402
+
 import jax  # noqa: E402
 
+# this image force-loads a TPU plugin via sitecustomize, so JAX_PLATFORMS
+# in the environment is ignored; honor an explicit override here
+if os.environ.get("PDEBENCH_TPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["PDEBENCH_TPU_PLATFORM"])
 jax.config.update("jax_enable_x64", True)
 
 from pdebench_tpu.oracle import OracleSolver  # noqa: E402
