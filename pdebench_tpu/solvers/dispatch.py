@@ -163,6 +163,28 @@ def solve_linear(
     )
     info: Dict[str, Any] = {"ksp_type": ksp, "pc_type": pc, "rtol": rtol}
 
+    if not use_direct and op.ndof < _AMG_MIN_DOFS:
+        # small systems: Jacobi through the globally shape-cached jit —
+        # no AMG setup, no per-case compile
+        x, iters, res, conv = _iterative(
+            op.A, op.dofmap, b, mask, g,
+            ndof=op.ndof, method=krylov_method(opts, symmetric),
+            rtol=rtol, atol=atol, maxiter=maxiter,
+        )
+        if bool(conv):
+            info.update(
+                method=krylov_method(opts, symmetric),
+                pc_used="jacobi",
+                iterations=int(iters),
+                residual=float(res),
+            )
+            return np.asarray(x), info
+        info["iterative_failed"] = {
+            "iterations": int(iters),
+            "residual": float(res),
+        }
+        use_direct = True
+
     if not use_direct:
         method = krylov_method(opts, symmetric)
         from .krylov import bicgstab as _bicg
