@@ -1,0 +1,146 @@
+"""Out-of-process native (C++) oracle backend.
+
+Mirrors the reference's deal.II-binaries architecture
+(dealii_oracle/oracle.py + common.py): the Python side derives
+manufactured-solution data symbolically and injects `_computed_*`
+expression strings into the spec, builds the binary on demand (make,
+cached by mtime), runs it under the contract
+`<solver> <case_spec.json> <outdir>`, and reads back
+solution_grid.bin + meta.json. Accuracy baselines are computed host-side
+against the analytic exact grid exactly like the jax backend.
+
+Currently covered: poisson / helmholtz / heat / darcy (elliptic) on
+unit_square and unit_cube with P1 elements — the native demonstration
+path; the jax backend remains the primary oracle.
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import subprocess
+import tempfile
+import time
+from pathlib import Path
+from typing import Any, Dict
+
+import numpy as np
+import sympy as sp
+
+from ..fem import symbolic
+from . import scalar
+from .types import OracleResult, compute_rel_L2_grid
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_BINARY = _NATIVE_DIR / "build" / "scalar_solver"
+
+_SUPPORTED_PDES = ("poisson", "helmholtz", "heat", "darcy")
+_SUPPORTED_DOMAINS = ("unit_square", "unit_cube")
+
+
+def ensure_built() -> Path:
+    """Build (or reuse) the native binary; mtime-cached via make."""
+    proc = subprocess.run(
+        ["make", "-C", str(_NATIVE_DIR), "-s"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    if proc.returncode != 0 or not _BINARY.exists():
+        raise RuntimeError(f"native build failed:\n{proc.stderr[-2000:]}")
+    return _BINARY
+
+
+def preprocess_case_spec(config: Dict[str, Any]) -> Dict[str, Any]:
+    """Inject _computed_source/_computed_bc/_computed_ic sympy strings.
+
+    Role parity with the reference's sympy->muParser preprocessors
+    (dealii_oracle/common.py:104-605); our native evaluator reads sympy
+    syntax directly, so derived expressions are passed as str(sympy).
+    """
+    cfg = copy.deepcopy(config)
+    pde = cfg["pde"]
+    dim = 3 if cfg["domain"]["type"] == "unit_cube" else 2
+    mms = pde.get("manufactured_solution", {})
+    u = mms.get("u", mms.get("p"))
+    if u is None:
+        return cfg
+    u_sym = symbolic.parse(u)
+    t = pde.get("type")
+    kspec = pde.get("coefficients", {}).get("kappa") or {}
+    kexpr = kspec.get("expr", kspec.get("value", 1.0)) if kspec else 1.0
+    if t in ("poisson", "darcy"):
+        src = symbolic.poisson_source(u_sym, kexpr, dim)
+    elif t == "helmholtz":
+        k = float(pde.get("pde_params", {}).get("k", 1.0))
+        src = sp.simplify(-symbolic.laplacian(u_sym, dim) - k * k * u_sym)
+    elif t == "heat":
+        src = symbolic.heat_source(u_sym, kexpr, dim)
+        pde["_computed_ic"] = str(u_sym)
+    else:
+        return cfg
+    pde["_computed_source"] = str(src)
+    pde["_computed_bc"] = str(u_sym)
+    return cfg
+
+
+def solve_via_cpp(oracle_config: Dict[str, Any]) -> OracleResult:
+    pde_type = oracle_config["pde"]["type"]
+    domain = oracle_config["domain"]["type"]
+    if pde_type not in _SUPPORTED_PDES or domain not in _SUPPORTED_DOMAINS:
+        raise NotImplementedError(
+            f"native backend covers {_SUPPORTED_PDES} on "
+            f"{_SUPPORTED_DOMAINS}; got {pde_type} on {domain}"
+        )
+    binary = ensure_built()
+    cfg = preprocess_case_spec(oracle_config)
+
+    t0 = time.perf_counter()
+    with tempfile.TemporaryDirectory() as tmp:
+        spec_path = Path(tmp) / "case_spec.json"
+        spec_path.write_text(json.dumps(cfg))
+        proc = subprocess.run(
+            [str(binary), str(spec_path), tmp],
+            capture_output=True,
+            text=True,
+            timeout=900,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"native solver failed ({proc.returncode}): "
+                f"{proc.stderr[-1000:]}"
+            )
+        meta = json.load(open(Path(tmp) / "meta.json"))
+        grid_cfg = oracle_config["output"]["grid"]
+        ny, nx = int(grid_cfg["ny"]), int(grid_cfg["nx"])
+        shape = (
+            (int(grid_cfg["nz"]), ny, nx) if grid_cfg.get("nz") else (ny, nx)
+        )
+        u = np.fromfile(Path(tmp) / "solution_grid.bin", dtype=np.float64)
+        u = u.reshape(shape)
+    wall = time.perf_counter() - t0
+
+    t_final = None
+    if pde_type == "heat":
+        tcfg = oracle_config["pde"].get("time", {})
+        t0_, te, dt = (
+            float(tcfg.get("t0", 0.0)),
+            float(tcfg.get("t_end", 0.1)),
+            float(tcfg.get("dt", 0.01)),
+        )
+        t_final = t0_ + max(int((te - t0_) / dt + 0.5), 1) * dt
+
+    err = scalar.mms_baseline_error(oracle_config, u, t_end=t_final)
+    if err is None and "reference_config" in oracle_config:
+        ref = solve_via_cpp(scalar.merge_reference_config(oracle_config))
+        err = compute_rel_L2_grid(u, ref.reference)
+
+    solver_info = dict(meta.get("solver_info", {}))
+    solver_info.update(library="pdebench_tpu_native", pde=pde_type)
+    return OracleResult(
+        baseline_error=float(err if err is not None else 1e-2),
+        baseline_time=float(meta.get("baseline_time", wall)),
+        reference=u,
+        solver_info=solver_info,
+        num_dofs=int(meta.get("num_dofs", 0)),
+    )

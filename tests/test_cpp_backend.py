@@ -1,0 +1,81 @@
+"""Native (C++) oracle backend tests: build + binary contract + accuracy."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from pdebench_tpu.oracle import OracleSolver
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("g++") is None, reason="no C++ toolchain"
+)
+
+
+def _cfg(pde, **kw):
+    base = {
+        "pde": pde,
+        "domain": {"type": "unit_square"},
+        "mesh": {"resolution": 48},
+        "fem": {"family": "Lagrange", "degree": 1},
+        "bc": {"dirichlet": {"on": "all", "value": "0"}},
+        "output": {"grid": {"bbox": [0, 1, 0, 1], "nx": 40, "ny": 40}},
+        "oracle_solver": {"ksp_type": "cg", "pc_type": "jacobi", "rtol": 1e-10},
+    }
+    base.update(kw)
+    return base
+
+
+def test_cpp_poisson():
+    r = OracleSolver().solve(
+        _cfg({"type": "poisson",
+              "manufactured_solution": {"u": "sin(pi*x)*sin(pi*y)"}}),
+        solver_library="cpp",
+    )
+    assert r.baseline_error < 2e-3
+    assert r.reference.shape == (40, 40)
+    assert np.isfinite(r.reference).all()
+    assert r.solver_info["library"] == "pdebench_tpu_native"
+
+
+def test_cpp_heat():
+    r = OracleSolver().solve(
+        _cfg({
+            "type": "heat",
+            "time": {"t0": 0.0, "t_end": 0.1, "dt": 0.01},
+            "manufactured_solution": {"u": "exp(-t)*sin(pi*x)*sin(pi*y)"},
+        }),
+        solver_library="cpp",
+    )
+    assert r.baseline_error < 5e-3
+
+
+def test_cpp_helmholtz():
+    r = OracleSolver().solve(
+        _cfg({"type": "helmholtz", "pde_params": {"k": 5.0},
+              "manufactured_solution": {"u": "sin(pi*x)*sin(pi*y)"}}),
+        solver_library="cpp",
+    )
+    assert r.baseline_error < 5e-3
+
+
+def test_cpp_unsupported_raises():
+    with pytest.raises(NotImplementedError):
+        OracleSolver().solve(
+            _cfg({"type": "stokes", "pde_params": {"nu": 1.0}}),
+            solver_library="cpp",
+        )
+
+
+def test_cpp_matches_jax_backend():
+    cfg = _cfg(
+        {"type": "poisson",
+         "manufactured_solution": {"u": "sin(pi*x)*sin(pi*y)"}}
+    )
+    r_cpp = OracleSolver().solve(cfg, solver_library="cpp")
+    r_jax = OracleSolver().solve(cfg, solver_library="jax")
+    # same P1 discretization family: grids agree to discretization error
+    d = np.linalg.norm(r_cpp.reference - r_jax.reference) / np.linalg.norm(
+        r_jax.reference
+    )
+    assert d < 5e-3, d
