@@ -22,21 +22,27 @@ def _advice(failure_stage: Optional[str], prev: Dict[str, Any]) -> str:
             f"Error:\n{(prev.get('error_message') or '')[:800]}\n"
             f"Stderr (tail):\n{(prev.get('stderr') or '')[-800:]}"
         )
+    def _fmt(v, spec=".3e"):
+        return format(v, spec) if isinstance(v, (int, float)) else "?"
+
     if failure_stage == "accuracy":
         return (
             "Your previous attempt ran but was NOT ACCURATE ENOUGH "
-            f"(error {prev.get('error'):.3e} vs target "
-            f"{prev.get('target_error'):.3e}). Typical causes: mesh too "
+            f"(error {_fmt(prev.get('error'))} vs target "
+            f"{_fmt(prev.get('target_error'))}). Typical causes: mesh too "
             "coarse, polynomial degree too low, missing stabilization "
             "(SUPG for convection-dominated cases), too-loose solver "
             "tolerance, wrong source/BC signs, or sampling on the wrong "
             "grid orientation (u[j, i] = u(x[i], y[j]))."
         )
     if failure_stage == "time":
+        def _fmt2(v):
+            return format(v, ".2f") if isinstance(v, (int, float)) else "?"
+
         return (
             "Your previous attempt was accurate but TOO SLOW "
-            f"(time {prev.get('time'):.2f}s vs budget "
-            f"{prev.get('target_time'):.2f}s). Coarsen the mesh toward the "
+            f"(time {_fmt2(prev.get('time'))}s vs budget "
+            f"{_fmt2(prev.get('target_time'))}s). Coarsen the mesh toward the "
             "minimum that still meets the accuracy target, use a cheaper "
             "solver/preconditioner, factorize once and reuse across time "
             "steps, and avoid Python-level per-element loops."
