@@ -213,6 +213,27 @@ class AMG:
 
         return lambda r: vcycle(0, r)
 
+    def astype(self, dtype) -> "AMG":
+        """Cast every level to `dtype` (f32 V-cycle for mixed precision)."""
+
+        def cast_coo(c: DeviceCOO) -> DeviceCOO:
+            return DeviceCOO(c.rows, c.cols, c.vals.astype(dtype), c.shape)
+
+        return AMG(
+            levels=[
+                AMGLevel(
+                    A=cast_coo(lv.A),
+                    diag_inv=lv.diag_inv.astype(dtype),
+                    P=cast_coo(lv.P),
+                    omega=lv.omega,
+                )
+                for lv in self.levels
+            ],
+            coarse_inv=self.coarse_inv.astype(dtype),
+            pre_smooth=self.pre_smooth,
+            post_smooth=self.post_smooth,
+        )
+
 
 def _jacobi_omega(A: sps.csr_matrix, iters: int = 10) -> float:
     """Damping 1/rho(D^-1 A) (x 0.9) via power iteration — keeps the
@@ -344,10 +365,16 @@ def setup_amg_masked(
         # partial-node constraints: fall back to scalar aggregation
         block_size = 1
     amg = setup_amg(A_ff, B=B, block_size=block_size, **kwargs)
+    return masked_precond(amg, m)
+
+
+def masked_precond(amg: AMG, mask: np.ndarray) -> Callable:
+    """Wrap a free-dof AMG hierarchy as a full-length preconditioner."""
+    free = np.nonzero(~np.asarray(mask, dtype=bool))[0]
     vcycle = amg.precond()
     free_j = jnp.asarray(free, dtype=jnp.int32)
-    mask_j = jnp.asarray(m)
-    n = A.shape[0]
+    mask_j = jnp.asarray(np.asarray(mask, dtype=bool))
+    n = len(mask)
 
     def precond(r: jnp.ndarray) -> jnp.ndarray:
         x_f = vcycle(r[free_j])
@@ -355,6 +382,28 @@ def setup_amg_masked(
         return jnp.where(mask_j, r, out)
 
     return precond
+
+
+def setup_amg_masked_pair(
+    A: sps.spmatrix,
+    mask: np.ndarray,
+    B: Optional[np.ndarray] = None,
+    block_size: int = 1,
+    **kwargs,
+):
+    """(M64, M32) preconditioner closures sharing one hierarchy setup —
+    the f32 variant feeds mixed-precision iterative refinement."""
+    m = np.asarray(mask, dtype=bool)
+    free = np.nonzero(~m)[0]
+    A_ff = A.tocsr()[free][:, free]
+    if B is not None:
+        B = np.asarray(B)[free]
+    if block_size > 1 and len(free) % block_size != 0:
+        block_size = 1
+    amg = setup_amg(A_ff, B=B, block_size=block_size, **kwargs)
+    return masked_precond(amg, m), masked_precond(
+        amg.astype(jnp.float32), m
+    )
 
 
 def constrained_csr(

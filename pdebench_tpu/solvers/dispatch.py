@@ -112,9 +112,9 @@ _AMG_MIN_DOFS = 20000
 
 
 def _build_preconditioner(op, mask, pc: str, opts: Dict[str, Any]):
-    """(M closure, name). AMG for hypre/ilu-class pc on large systems,
-    else Jacobi."""
-    from .amg import setup_amg_masked
+    """(M64, M32, name). AMG for hypre/ilu-class pc on large systems,
+    else Jacobi; the f32 twin feeds mixed-precision refinement."""
+    from .amg import setup_amg_masked_pair
     from .krylov import jacobi_preconditioner
     from ..fem.assemble import constrained_diag
 
@@ -125,19 +125,21 @@ def _build_preconditioner(op, mask, pc: str, opts: Dict[str, Any]):
             A_pc = opts.get("_amg_matrix")
             if A_pc is None:
                 A_pc = op.to_scipy()
-            M = setup_amg_masked(
+            M64, M32 = setup_amg_masked_pair(
                 A_pc,
                 np.asarray(mask),
                 B=opts.get("_amg_B"),
                 block_size=int(opts.get("_amg_block", 1)),
             )
-            return M, "amg"
+            return M64, M32, "amg"
         except Exception:
             pass
-    M = jacobi_preconditioner(
-        constrained_diag(op.diagonal(), mask)
+    diag = constrained_diag(op.diagonal(), mask)
+    return (
+        jacobi_preconditioner(diag),
+        jacobi_preconditioner(diag.astype(jnp.float32)),
+        "jacobi",
     )
-    return M, "jacobi"
 
 
 def solve_linear(
@@ -205,8 +207,13 @@ def solve_linear(
             int(mask_np.sum()),
             int(mask_np.argmax()),
         )
+        mixed = (
+            method == "cg"
+            and symmetric
+            and os.environ.get("PDEBENCH_TPU_MIXED_PRECISION", "1") == "1"
+        )
         if key not in cache:
-            M, pc_used = _build_preconditioner(op, mask, pc, opts)
+            M, M32, pc_used = _build_preconditioner(op, mask, pc, opts)
             kry = {"cg": _cg, "bicgstab": _bicg, "gmres": _gmres}[method]
             dofmap_c = op.dofmap
 
@@ -215,14 +222,41 @@ def solve_linear(
                 A = constrained_operator(raw, mask_in)
                 rhs = constrained_rhs(raw, b_in, mask_in, g_in)
                 x0 = jnp.where(mask_in, g_in, 0.0)
+                if mixed:
+                    # SPD path: f32 inner PCG + f64 outer refinement —
+                    # v5e emulates f64, so the inner iterations run at
+                    # native f32 speed (see krylov.refined_solve)
+                    from .krylov import refined_solve
+
+                    A32_local = A_local.astype(jnp.float32)
+                    raw32 = lambda v: _apply_local(
+                        A32_local, dofmap_c, op.ndof, v
+                    )
+                    A32 = constrained_operator(raw32, mask_in)
+                    return refined_solve(
+                        A, A32, rhs, x0=x0, M32=M32, rtol=rtol, atol=atol
+                    )
                 return kry(
                     A, rhs, x0=x0, M=M, rtol=rtol, atol=atol, maxiter=maxiter
                 )
 
-            cache[key] = (jax.jit(_solve), pc_used)
-        solver, pc_used = cache[key]
-        info["pc_used"] = pc_used
+            def _solve_f64(A_local, b_in, mask_in, g_in):
+                raw = lambda v: _apply_local(A_local, dofmap_c, op.ndof, v)
+                A = constrained_operator(raw, mask_in)
+                rhs = constrained_rhs(raw, b_in, mask_in, g_in)
+                x0 = jnp.where(mask_in, g_in, 0.0)
+                return kry(
+                    A, rhs, x0=x0, M=M, rtol=rtol, atol=atol, maxiter=maxiter
+                )
+
+            cache[key] = (jax.jit(_solve), jax.jit(_solve_f64), pc_used)
+        solver, solver_f64, pc_used = cache[key]
+        info["pc_used"] = pc_used + ("+ir32" if mixed else "")
         x, kinfo = solver(op.A, b, mask, g)
+        if mixed and not bool(kinfo.converged):
+            # precision floor or hard conditioning: full f64 retry
+            x, kinfo = solver_f64(op.A, b, mask, g)
+            info["pc_used"] = pc_used + "+f64retry"
         if bool(kinfo.converged):
             info.update(
                 method=method,

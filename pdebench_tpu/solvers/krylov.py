@@ -302,6 +302,81 @@ def minres(
     return x, KrylovInfo(k, res, res <= jnp.linalg.norm(b) * rtol + atol)
 
 
+def refined_solve(
+    A64: Callable,
+    A32: Callable,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    M32: Optional[Callable] = None,
+    rtol: float = 1e-10,
+    atol: float = 1e-14,
+    inner_iters: int = 30,
+    max_outer: int = 60,
+):
+    """Mixed-precision iterative refinement: f32 inner PCG, f64 outer.
+
+    TPU v5e emulates float64 (slow); float32 runs at native speed. The
+    outer loop computes exact f64 residuals r = b - A x and corrects
+    x += z where z approximately solves A z = r with `inner_iters` steps
+    of f32 PCG (preconditioned by M32, e.g. an f32 AMG V-cycle). Each
+    outer round contracts the error by the inner solver's reduction
+    factor, so f64-level accuracy (rtol 1e-10) is reached in a handful
+    of rounds while >95% of the FLOPs run in f32. Survey 7.3 flagged
+    exactly this hedge for the v5e f64 budget.
+    """
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if M32 is None:
+        M32 = lambda r: r
+    tol = _tolerance(b, rtol, atol)
+
+    def inner_cg(r32):
+        z = jnp.zeros_like(r32)
+        res = r32
+        p = M32(res)
+        rz = jnp.vdot(res, p)
+
+        def body(i, state):
+            z, res, p, rz = state
+            Ap = A32(p)
+            denom = jnp.vdot(p, Ap)
+            alpha = rz / jnp.where(jnp.abs(denom) > 0, denom, 1.0)
+            z = z + alpha * p
+            res = res - alpha * Ap
+            s = M32(res)
+            rz_new = jnp.vdot(res, s)
+            beta = rz_new / jnp.where(jnp.abs(rz) > 0, rz, 1.0)
+            return (z, res, s + beta * p, rz_new)
+
+        z, _, _, _ = jax.lax.fori_loop(0, inner_iters, body, (z, res, p, rz))
+        return z
+
+    def cond(state):
+        x, r, k, rn_prev, stag = state
+        rn = jnp.linalg.norm(r)
+        return jnp.logical_and(
+            jnp.logical_and(k < max_outer, rn > tol),
+            jnp.logical_not(stag),
+        )
+
+    def body(state):
+        x, r, k, rn_prev, stag = state
+        z32 = inner_cg(r.astype(jnp.float32))
+        x = x + z32.astype(b.dtype)
+        r = b - A64(x)
+        rn = jnp.linalg.norm(r)
+        # stagnation: inner precision floor reached, no further progress
+        stag = rn > 0.9 * rn_prev
+        return (x, r, k + 1, rn, stag)
+
+    r0 = b - A64(x0)
+    x, r, k, rn, _ = jax.lax.while_loop(
+        cond, body, (x0, r0, 0, jnp.linalg.norm(r0) * 2.0, jnp.asarray(False))
+    )
+    res = jnp.linalg.norm(r)
+    return x, KrylovInfo(k * inner_iters, res, res <= tol)
+
+
 def jacobi_preconditioner(diag: jnp.ndarray) -> Callable:
     safe = jnp.where(jnp.abs(diag) > 1e-300, diag, 1.0)
     inv = 1.0 / safe
