@@ -23,11 +23,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from ..fem import symbolic
 from ..fem.assemble import local_mass, local_stiffness
-from ..solvers.dispatch import _apply_local, krylov_method, solve_constrained
+from ..solvers.dispatch import (
+    _apply_local,
+    krylov_method,
+    solve_constrained,
+    solve_constrained_ir,
+)
 from . import base, scalar
 from .types import OracleResult, compute_rel_L2_grid
+
+_MIXED = os.environ.get("PDEBENCH_TPU_MIXED_PRECISION", "1") == "1"
 
 
 class HeatSolver:
@@ -67,15 +76,28 @@ class HeatSolver:
         qpts = ctx.qpts()
         ts = t0 + dt * jnp.arange(1, num_steps + 1)
 
+        use_ir = _MIXED and method == "cg"
+
         @jax.jit
         def run_scan(A_sys, M, u0_arr):
+            A32 = A_sys.astype(jnp.float32) if use_ir else None
+
             def step(u_n, t_next):
                 f_q = f_fn(qpts, t_next)
                 b = _apply_local(M, dofmap, ndof, u_n) + dt * ctx.load_vector(f_q)
                 g = g_fn(t_next)
-                x, it, res, conv = solve_constrained(
-                    A_sys, dofmap, b, mask, g, ndof, method, rtol, atol, maxiter
-                )
+                if use_ir:
+                    # f32 inner iterations, f64 outer correction — the
+                    # per-step system M + dt K is mass-dominated and
+                    # well-conditioned, ideal for mixed precision
+                    x, it, res, conv = solve_constrained_ir(
+                        A_sys, A32, dofmap, b, mask, g, ndof, rtol, atol
+                    )
+                else:
+                    x, it, res, conv = solve_constrained(
+                        A_sys, dofmap, b, mask, g, ndof, method, rtol, atol,
+                        maxiter,
+                    )
                 return x, (it, res)
 
             return jax.lax.scan(step, u0_arr, ts)

@@ -21,13 +21,21 @@ import jax.numpy as jnp
 import numpy as np
 import sympy as sp
 
+import os
+
 from ..fem import symbolic
 from ..fem.assemble import local_mass, local_stiffness
-from ..solvers.dispatch import _apply_local, krylov_method, solve_constrained
+from ..solvers.dispatch import (
+    _apply_local,
+    krylov_method,
+    solve_constrained,
+    solve_constrained_ir,
+)
 from . import base, scalar
 from .types import OracleResult, compute_rel_L2_grid
 
 THETA = 0.25
+_MIXED = os.environ.get("PDEBENCH_TPU_MIXED_PRECISION", "1") == "1"
 
 
 class WaveSolver:
@@ -74,8 +82,12 @@ class WaveSolver:
         inv_dt2 = 1.0 / (dt * dt)
         t_ns = t0 + dt * jnp.arange(num_steps)  # source times t_n
 
+        use_ir = _MIXED and method == "cg"
+
         @jax.jit
         def run_scan(A_sys, M, K, u0_arr, um1_arr):
+            A32 = A_sys.astype(jnp.float32) if use_ir else None
+
             def step(carry, t_n):
                 u_n, u_nm1 = carry
                 f_q = f_fn(qpts, t_n)
@@ -86,9 +98,15 @@ class WaveSolver:
                     + ctx.load_vector(f_q)
                 )
                 g = g_fn(t_n + dt)
-                x, it, res, conv = solve_constrained(
-                    A_sys, dofmap, b, mask, g, ndof, method, rtol, atol, maxiter
-                )
+                if use_ir:
+                    x, it, res, conv = solve_constrained_ir(
+                        A_sys, A32, dofmap, b, mask, g, ndof, rtol, atol
+                    )
+                else:
+                    x, it, res, conv = solve_constrained(
+                        A_sys, dofmap, b, mask, g, ndof, method, rtol, atol,
+                        maxiter,
+                    )
                 return (x, u_n), (it, res)
 
             (u, _), aux = jax.lax.scan(step, (u0_arr, um1_arr), t_ns)

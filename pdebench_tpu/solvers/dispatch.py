@@ -91,6 +91,55 @@ _iterative = jax.jit(
 )
 
 
+def solve_constrained_ir(
+    A_local,
+    A32_local,
+    dofmap,
+    b,
+    mask,
+    g,
+    ndof: int,
+    rtol: float,
+    atol: float,
+    inner_iters: int = 30,
+    max_outer: int = 60,
+):
+    """Traceable mixed-precision constrained solve (SPD systems).
+
+    The f32 twin of the local-matrix batch is passed in so transient
+    scans can cast once outside the lax.scan and run every step's inner
+    iterations at native f32 speed (krylov.refined_solve). Falls back to
+    nothing here — callers needing a guaranteed answer should check
+    `converged` and re-solve in f64.
+    """
+    from .krylov import jacobi_preconditioner, refined_solve
+
+    raw64 = lambda v: _apply_local(A_local, dofmap, ndof, v)
+    raw32 = lambda v: _apply_local(A32_local, dofmap, ndof, v)
+    A64 = constrained_operator(raw64, mask)
+    A32 = constrained_operator(raw32, mask)
+    diag = scatter_add(
+        jnp.einsum("cii->ci", A32_local), dofmap, ndof
+    )
+    M32 = jacobi_preconditioner(
+        constrained_diag(diag, mask).astype(jnp.float32)
+    )
+    rhs = constrained_rhs(raw64, b, mask, g)
+    x0 = jnp.where(mask, g, 0.0)
+    x, info = refined_solve(
+        A64,
+        A32,
+        rhs,
+        x0=x0,
+        M32=M32,
+        rtol=rtol,
+        atol=atol,
+        inner_iters=inner_iters,
+        max_outer=max_outer,
+    )
+    return x, info.iterations, info.residual, info.converged
+
+
 _DIRECT_KSP = ("preonly",)
 _DIRECT_PC = ("lu", "cholesky", "mumps")
 
