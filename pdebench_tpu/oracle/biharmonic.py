@@ -46,6 +46,8 @@ class BiharmonicSolver:
             w_bc = np.zeros(space.ndof)
         f_fn = symbolic.lambdify_spatial(f_sym, dim)
         opts = base.solver_opts(config)
+        # both split solves share the Laplacian stencil
+        opts["_lattice32"] = scalar.maybe_lattice32(ctx, local_stiffness(ctx.cb))
 
         # Dirichlet masks: same dofs, different values (w vs u)
         bc_dofs = space.boundary_scalar_dofs

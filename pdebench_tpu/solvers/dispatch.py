@@ -103,20 +103,51 @@ def solve_constrained_ir(
     atol: float,
     inner_iters: int = 30,
     max_outer: int = 60,
+    lattice32=None,
 ):
     """Traceable mixed-precision constrained solve (SPD systems).
 
     The f32 twin of the local-matrix batch is passed in so transient
     scans can cast once outside the lax.scan and run every step's inner
-    iterations at native f32 speed (krylov.refined_solve). Falls back to
-    nothing here — callers needing a guaranteed answer should check
-    `converged` and re-solve in f64.
+    iterations at native f32 speed (krylov.refined_solve). With
+    `lattice32` (a solvers.stencil.LatticeOperator in f32), the inner
+    iterations run the gather-free stencil apply in lattice ordering —
+    the dof<->lattice permutation happens once per outer round only.
+    Callers needing a guaranteed answer should check `converged` and
+    re-solve in f64.
     """
     from .krylov import jacobi_preconditioner, refined_solve
 
     raw64 = lambda v: _apply_local(A_local, dofmap, ndof, v)
-    raw32 = lambda v: _apply_local(A32_local, dofmap, ndof, v)
     A64 = constrained_operator(raw64, mask)
+    rhs = constrained_rhs(raw64, b, mask, g)
+    x0 = jnp.where(mask, g, 0.0)
+
+    if lattice32 is not None:
+        perm = lattice32.perm_j
+        inv = lattice32.inv_j
+        mask_lat = mask[perm]
+        diag_lat = scatter_add(
+            jnp.einsum("cii->ci", A32_local), dofmap, ndof
+        )[perm]
+        M32 = jacobi_preconditioner(
+            jnp.where(mask_lat, 1.0, diag_lat).astype(jnp.float32)
+        )
+        shape = lattice32.shape
+
+        def A32(v_lat):
+            vz = jnp.where(mask_lat, 0.0, v_lat)
+            y = lattice32.apply_grid(vz.reshape(shape)).reshape(-1)
+            return jnp.where(mask_lat, v_lat, y)
+
+        x, info = refined_solve(
+            A64, A32, rhs, x0=x0, M32=M32, rtol=rtol, atol=atol,
+            inner_iters=inner_iters, max_outer=max_outer,
+            inner_fwd=lambda r: r[perm], inner_bwd=lambda z: z[inv],
+        )
+        return x, info.iterations, info.residual, info.converged
+
+    raw32 = lambda v: _apply_local(A32_local, dofmap, ndof, v)
     A32 = constrained_operator(raw32, mask)
     diag = scatter_add(
         jnp.einsum("cii->ci", A32_local), dofmap, ndof
@@ -124,8 +155,6 @@ def solve_constrained_ir(
     M32 = jacobi_preconditioner(
         constrained_diag(diag, mask).astype(jnp.float32)
     )
-    rhs = constrained_rhs(raw64, b, mask, g)
-    x0 = jnp.where(mask, g, 0.0)
     x, info = refined_solve(
         A64,
         A32,
@@ -213,6 +242,45 @@ def solve_linear(
         or os.environ.get("PDEBENCH_TPU_FORCE_DIRECT") == "1"
     )
     info: Dict[str, Any] = {"ksp_type": ksp, "pc_type": pc, "rtol": rtol}
+
+    # gather-free stencil fast path: structured-lattice SPD systems run
+    # f32 stencil inner iterations with f64 refinement (solvers set
+    # opts['_lattice32'] when the dof set forms a full lattice)
+    lat32 = opts.get("_lattice32")
+    if (
+        not use_direct
+        and lat32 is not None
+        and symmetric
+        and krylov_method(opts, symmetric) == "cg"
+        and os.environ.get("PDEBENCH_TPU_MIXED_PRECISION", "1") == "1"
+    ):
+        cache = opts.setdefault("_jit_cache", {})
+        key = ("stencil_ir", op.ndof)
+        if key not in cache:
+            dofmap_c = op.dofmap
+
+            def _solve_stencil(A_local, A32_local, b_in, mask_in, g_in):
+                # jacobi-preconditioned inner: long f32 bursts keep the
+                # (slow-on-TPU) f64 residual recomputations rare
+                return solve_constrained_ir(
+                    A_local, A32_local, dofmap_c, b_in, mask_in, g_in,
+                    op.ndof, rtol, atol, inner_iters=100, max_outer=40,
+                    lattice32=lat32,
+                )
+
+            cache[key] = jax.jit(_solve_stencil)
+        x, iters, res, conv = cache[key](
+            op.A, op.A.astype(jnp.float32), b, mask, g
+        )
+        if bool(conv):
+            info.update(
+                method="cg",
+                pc_used="jacobi+stencil-ir32",
+                iterations=int(iters),
+                residual=float(res),
+            )
+            return np.asarray(x), info
+        # fall through to the generic paths below
 
     if not use_direct and op.ndof < _AMG_MIN_DOFS:
         # small systems: Jacobi through the globally shape-cached jit —

@@ -312,8 +312,14 @@ def refined_solve(
     atol: float = 1e-14,
     inner_iters: int = 30,
     max_outer: int = 60,
+    inner_fwd: Optional[Callable] = None,
+    inner_bwd: Optional[Callable] = None,
 ):
     """Mixed-precision iterative refinement: f32 inner PCG, f64 outer.
+
+    inner_fwd/inner_bwd: optional basis change applied once per outer
+    round (e.g. dof -> lattice permutation for stencil operators, so the
+    per-iteration inner work is gather-free).
 
     TPU v5e emulates float64 (slow); float32 runs at native speed. The
     outer loop computes exact f64 residuals r = b - A x and corrects
@@ -361,7 +367,11 @@ def refined_solve(
 
     def body(state):
         x, r, k, rn_prev, stag = state
-        z32 = inner_cg(r.astype(jnp.float32))
+        r32 = r.astype(jnp.float32)
+        if inner_fwd is not None:
+            z32 = inner_bwd(inner_cg(inner_fwd(r32)))
+        else:
+            z32 = inner_cg(r32)
         x = x + z32.astype(b.dtype)
         r = b - A64(x)
         rn = jnp.linalg.norm(r)

@@ -1,0 +1,85 @@
+"""Stencil (lattice) operator tests — platform-independent correctness."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pdebench_tpu.fem.assemble import LocalOperator, cell_batch, local_mass, local_stiffness
+from pdebench_tpu.fem.mesh import unit_cube_mesh, unit_square_mesh
+from pdebench_tpu.fem.spaces import FunctionSpace
+from pdebench_tpu.solvers.stencil import (
+    detect_lattice,
+    lattice_operator_from_local,
+)
+
+
+def _check_operator(mesh, degree):
+    space = FunctionSpace(mesh, degree)
+    cb = cell_batch(mesh, degree)
+    A = local_stiffness(cb) + 0.3 * local_mass(cb)
+    op = LocalOperator(A, space.dofmap_scalar, space.ndof)
+    lat = lattice_operator_from_local(
+        np.asarray(A), space.dofmap_scalar, space.ndof, space.dof_coords
+    )
+    assert lat is not None
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal(space.ndof))
+    np.testing.assert_allclose(
+        np.asarray(lat(u)), np.asarray(op(u)), rtol=1e-12, atol=1e-12
+    )
+    return lat
+
+
+def test_stencil_p1_square():
+    lat = _check_operator(unit_square_mesh(12), 1)
+    assert lat.shape == (13, 13)
+    assert len(lat.offsets) <= 9  # P1 on split triangles: 7-point stencil
+
+
+def test_stencil_p2_square():
+    lat = _check_operator(unit_square_mesh(8), 2)
+    assert lat.shape == (17, 17)
+    assert len(lat.offsets) <= 25
+
+
+def test_stencil_p1_cube():
+    lat = _check_operator(unit_cube_mesh(4), 1)
+    assert lat.shape == (5, 5, 5)
+
+
+def test_detect_lattice_rejects_unstructured():
+    from pdebench_tpu.fem import geometry
+
+    mesh = geometry.mesh_domain(
+        "circle",
+        {"type": "circle", "geometry_params": {"center": [0.5, 0.5], "radius": 0.5}},
+        1.0 / 12,
+    )
+    space = FunctionSpace(mesh, 1)
+    assert detect_lattice(space.dof_coords) is None
+
+
+def test_stencil_ir_solve_matches_f64(monkeypatch):
+    """End-to-end: forced stencil path must reproduce the standard solve."""
+    import os
+
+    monkeypatch.setenv("PDEBENCH_TPU_FORCE_STENCIL", "1")
+    from pdebench_tpu.oracle import OracleSolver
+
+    cfg = {
+        "pde": {
+            "type": "poisson",
+            "manufactured_solution": {"u": "sin(pi*x)*sin(pi*y)"},
+        },
+        "domain": {"type": "unit_square"},
+        "mesh": {"resolution": 48},
+        "fem": {"degree": 2},
+        "bc": {"dirichlet": {"on": "all", "value": "0"}},
+        "output": {"grid": {"bbox": [0, 1, 0, 1], "nx": 40, "ny": 40}},
+        "oracle_solver": {"ksp_type": "cg", "pc_type": "hypre", "rtol": 1e-10},
+    }
+    r1 = OracleSolver().solve(cfg)
+    assert "stencil" in r1.solver_info.get("pc_used", ""), r1.solver_info
+    monkeypatch.setenv("PDEBENCH_TPU_FORCE_STENCIL", "0")
+    r2 = OracleSolver().solve(cfg)
+    np.testing.assert_allclose(r1.reference, r2.reference, atol=1e-7)
+    assert abs(r1.baseline_error - r2.baseline_error) < 1e-7
