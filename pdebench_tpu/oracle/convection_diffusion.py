@@ -114,6 +114,7 @@ class ConvectionDiffusionSolver:
 
         if not transient:
             f_fn = symbolic.lambdify_spatial(src, dim)
+            opts["_lattice32"] = scalar.maybe_lattice32(ctx, assemble_A())
 
             def run():
                 A = assemble_A()

@@ -47,6 +47,9 @@ class HelmholtzSolver:
         # one-time solver options (holds the jit/preconditioner cache —
         # must be shared by the cold and warm timed passes)
         run_opts = dict(opts)
+        run_opts["_lattice32"] = scalar.maybe_lattice32(
+            ctx, local_stiffness(ctx.cb) - k2 * local_mass(ctx.cb)
+        )
         if ctx.space.ndof >= 20000:
             # precondition the indefinite operator with AMG built on
             # the SHIFTED Laplacian K + k^2 M (standard shifted-

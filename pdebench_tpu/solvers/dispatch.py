@@ -104,6 +104,7 @@ def solve_constrained_ir(
     inner_iters: int = 30,
     max_outer: int = 60,
     lattice32=None,
+    inner: str = "cg",
 ):
     """Traceable mixed-precision constrained solve (SPD systems).
 
@@ -144,6 +145,7 @@ def solve_constrained_ir(
             A64, A32, rhs, x0=x0, M32=M32, rtol=rtol, atol=atol,
             inner_iters=inner_iters, max_outer=max_outer,
             inner_fwd=lambda r: r[perm], inner_bwd=lambda z: z[inv],
+            inner=inner,
         )
         return x, info.iterations, info.residual, info.converged
 
@@ -165,6 +167,7 @@ def solve_constrained_ir(
         atol=atol,
         inner_iters=inner_iters,
         max_outer=max_outer,
+        inner=inner,
     )
     return x, info.iterations, info.residual, info.converged
 
@@ -250,22 +253,27 @@ def solve_linear(
     if (
         not use_direct
         and lat32 is not None
-        and symmetric
-        and krylov_method(opts, symmetric) == "cg"
         and os.environ.get("PDEBENCH_TPU_MIXED_PRECISION", "1") == "1"
     ):
+        inner = (
+            "cg"
+            if (symmetric and krylov_method(opts, symmetric) == "cg")
+            else "gmres"
+        )
         cache = opts.setdefault("_jit_cache", {})
-        key = ("stencil_ir", op.ndof)
+        key = ("stencil_ir", inner, op.ndof)
         if key not in cache:
             dofmap_c = op.dofmap
+            # cg: long jacobi bursts keep the (slow-on-TPU) f64 residual
+            # recomputations rare; gmres: one 60-dim Arnoldi cycle per
+            # outer round (FGMRES-IR)
+            n_inner = 100 if inner == "cg" else 60
 
             def _solve_stencil(A_local, A32_local, b_in, mask_in, g_in):
-                # jacobi-preconditioned inner: long f32 bursts keep the
-                # (slow-on-TPU) f64 residual recomputations rare
                 return solve_constrained_ir(
                     A_local, A32_local, dofmap_c, b_in, mask_in, g_in,
-                    op.ndof, rtol, atol, inner_iters=100, max_outer=40,
-                    lattice32=lat32,
+                    op.ndof, rtol, atol, inner_iters=n_inner, max_outer=40,
+                    lattice32=lat32, inner=inner,
                 )
 
             cache[key] = jax.jit(_solve_stencil)
@@ -274,7 +282,7 @@ def solve_linear(
         )
         if bool(conv):
             info.update(
-                method="cg",
+                method=inner,
                 pc_used="jacobi+stencil-ir32",
                 iterations=int(iters),
                 residual=float(res),

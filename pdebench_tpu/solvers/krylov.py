@@ -314,9 +314,13 @@ def refined_solve(
     max_outer: int = 60,
     inner_fwd: Optional[Callable] = None,
     inner_bwd: Optional[Callable] = None,
+    inner: str = "cg",
 ):
-    """Mixed-precision iterative refinement: f32 inner PCG, f64 outer.
+    """Mixed-precision iterative refinement: f32 inner Krylov, f64 outer.
 
+    inner: "cg" (SPD) or "gmres" (one m-step Arnoldi cycle per outer —
+    the outer refinement IS the restart, i.e. FGMRES-IR; right for
+    Helmholtz / convection-dominated systems).
     inner_fwd/inner_bwd: optional basis change applied once per outer
     round (e.g. dof -> lattice permutation for stencil operators, so the
     per-iteration inner work is gather-free).
@@ -357,6 +361,40 @@ def refined_solve(
         z, _, _, _ = jax.lax.fori_loop(0, inner_iters, body, (z, res, p, rz))
         return z
 
+    def inner_gmres(r32):
+        """One m-step left-preconditioned Arnoldi cycle in f32."""
+        m = inner_iters
+        n = r32.shape[0]
+        eps32 = jnp.asarray(1e-30, jnp.float32)
+        g0 = M32(r32)
+        beta = jnp.linalg.norm(g0)
+        V = jnp.zeros((m + 1, n), jnp.float32)
+        H = jnp.zeros((m + 1, m), jnp.float32)
+        V = V.at[0].set(g0 / jnp.where(beta < eps32, eps32, beta))
+
+        def arnoldi(j, carry):
+            V, H = carry
+            w = M32(A32(V[j]))
+
+            def mgs(i, wc):
+                w, H = wc
+                hij = jnp.vdot(V[i], w) * (i <= j)
+                H = H.at[i, j].add(hij)
+                return (w - hij * V[i], H)
+
+            w, H = jax.lax.fori_loop(0, m + 1, mgs, (w, H))
+            hn = jnp.linalg.norm(w)
+            H = H.at[j + 1, j].set(hn)
+            V = V.at[j + 1].set(w / jnp.where(hn < eps32, eps32, hn))
+            return (V, H)
+
+        V, H = jax.lax.fori_loop(0, m, arnoldi, (V, H))
+        e1 = jnp.zeros(m + 1, jnp.float32).at[0].set(beta)
+        y, *_ = jnp.linalg.lstsq(H, e1)
+        return V[:m].T @ y
+
+    inner_solve = inner_cg if inner == "cg" else inner_gmres
+
     def cond(state):
         x, r, k, rn_prev, stag = state
         rn = jnp.linalg.norm(r)
@@ -369,9 +407,9 @@ def refined_solve(
         x, r, k, rn_prev, stag = state
         r32 = r.astype(jnp.float32)
         if inner_fwd is not None:
-            z32 = inner_bwd(inner_cg(inner_fwd(r32)))
+            z32 = inner_bwd(inner_solve(inner_fwd(r32)))
         else:
-            z32 = inner_cg(r32)
+            z32 = inner_solve(r32)
         x = x + z32.astype(b.dtype)
         r = b - A64(x)
         rn = jnp.linalg.norm(r)
