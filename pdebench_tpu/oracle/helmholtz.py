@@ -50,7 +50,7 @@ class HelmholtzSolver:
         run_opts["_lattice32"] = scalar.maybe_lattice32(
             ctx, local_stiffness(ctx.cb) - k2 * local_mass(ctx.cb)
         )
-        if ctx.space.ndof >= 20000:
+        if ctx.space.ndof >= 8000:
             # precondition the indefinite operator with AMG built on
             # the SHIFTED Laplacian K + k^2 M (standard shifted-
             # Laplacian trick; AMG on K - k^2 M itself diverges)

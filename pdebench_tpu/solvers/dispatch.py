@@ -199,7 +199,9 @@ def _build_preconditioner(op, mask, pc: str, opts: Dict[str, Any]):
     from .krylov import jacobi_preconditioner
     from ..fem.assemble import constrained_diag
 
-    if pc in _AMG_PC and op.ndof >= _AMG_MIN_DOFS:
+    if pc in _AMG_PC and (
+        op.ndof >= _AMG_MIN_DOFS or opts.get("_amg_matrix") is not None
+    ):
         try:
             # operator override: e.g. Helmholtz preconditions with the
             # shifted Laplacian K + k^2 M rather than the indefinite A
@@ -290,7 +292,11 @@ def solve_linear(
             return np.asarray(x), info
         # fall through to the generic paths below
 
-    if not use_direct and op.ndof < _AMG_MIN_DOFS:
+    # nonsymmetric systems benefit from AMG + FGMRES-IR well below the
+    # SPD threshold (indefinite Helmholtz needs the shifted-Laplacian
+    # preconditioner; plain Jacobi stalls)
+    small_cut = _AMG_MIN_DOFS if symmetric else 8000
+    if not use_direct and op.ndof < small_cut:
         # small systems: Jacobi through the globally shape-cached jit —
         # no AMG setup, no per-case compile
         x, iters, res, conv = _iterative(
@@ -332,11 +338,10 @@ def solve_linear(
             int(mask_np.sum()),
             int(mask_np.argmax()),
         )
-        mixed = (
-            method == "cg"
-            and symmetric
-            and os.environ.get("PDEBENCH_TPU_MIXED_PRECISION", "1") == "1"
-        )
+        mixed = method in ("cg", "gmres") and os.environ.get(
+            "PDEBENCH_TPU_MIXED_PRECISION", "1"
+        ) == "1"
+        inner_kind = "cg" if (method == "cg" and symmetric) else "gmres"
         if key not in cache:
             M, M32, pc_used = _build_preconditioner(op, mask, pc, opts)
             kry = {"cg": _cg, "bicgstab": _bicg, "gmres": _gmres}[method]
@@ -348,9 +353,10 @@ def solve_linear(
                 rhs = constrained_rhs(raw, b_in, mask_in, g_in)
                 x0 = jnp.where(mask_in, g_in, 0.0)
                 if mixed:
-                    # SPD path: f32 inner PCG + f64 outer refinement —
-                    # v5e emulates f64, so the inner iterations run at
-                    # native f32 speed (see krylov.refined_solve)
+                    # f32 inner Krylov + f64 outer refinement — v5e
+                    # emulates f64, so the inner iterations run at
+                    # native f32 speed (see krylov.refined_solve);
+                    # nonsymmetric systems run FGMRES-IR
                     from .krylov import refined_solve
 
                     A32_local = A_local.astype(jnp.float32)
@@ -359,7 +365,9 @@ def solve_linear(
                     )
                     A32 = constrained_operator(raw32, mask_in)
                     return refined_solve(
-                        A, A32, rhs, x0=x0, M32=M32, rtol=rtol, atol=atol
+                        A, A32, rhs, x0=x0, M32=M32, rtol=rtol, atol=atol,
+                        inner=inner_kind,
+                        inner_iters=30 if inner_kind == "cg" else 60,
                     )
                 return kry(
                     A, rhs, x0=x0, M=M, rtol=rtol, atol=atol, maxiter=maxiter

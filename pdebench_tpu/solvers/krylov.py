@@ -390,7 +390,14 @@ def refined_solve(
 
         V, H = jax.lax.fori_loop(0, m, arnoldi, (V, H))
         e1 = jnp.zeros(m + 1, jnp.float32).at[0].set(beta)
-        y, *_ = jnp.linalg.lstsq(H, e1)
+        # least squares via QR (f32 lstsq crashes the TPU XLA pipeline)
+        Q, R = jnp.linalg.qr(H)  # (m+1, m), (m, m)
+        rhs_ls = Q.T @ e1
+        diag_r = jnp.diagonal(R)
+        Rsafe = R + jnp.diag(
+            jnp.where(jnp.abs(diag_r) < eps32, eps32, 0.0)
+        )
+        y = jax.scipy.linalg.solve_triangular(Rsafe, rhs_ls, lower=False)
         return V[:m].T @ y
 
     inner_solve = inner_cg if inner == "cg" else inner_gmres
