@@ -23,11 +23,19 @@ import jax.numpy as jnp
 import numpy as np
 import sympy as sp
 
+import os
+
 from ..fem import symbolic
 from ..fem.assemble import local_advection, local_mass, local_stiffness
-from ..solvers.dispatch import _apply_local, solve_constrained
+from ..solvers.dispatch import (
+    _apply_local,
+    solve_constrained,
+    solve_constrained_ir,
+)
 from . import base, scalar
 from .types import OracleResult, compute_rel_L2_grid
+
+_MIXED = os.environ.get("PDEBENCH_TPU_MIXED_PRECISION", "1") == "1"
 
 
 class BurgersSolver:
@@ -87,9 +95,18 @@ class BurgersSolver:
                     f_fn(qpts, t_next)
                 )
                 g = g_fn(t_next)
-                x, it, res, conv = solve_constrained(
-                    A, dofmap, b, mask, g, ndof, "gmres", rtol, atol, maxiter
-                )
+                if _MIXED:
+                    # matrix changes per step (lagged convection): cast
+                    # the fresh batch and run FGMRES-IR
+                    x, it, res, conv = solve_constrained_ir(
+                        A, A.astype(jnp.float32), dofmap, b, mask, g, ndof,
+                        rtol, atol, inner_iters=60, inner="gmres",
+                    )
+                else:
+                    x, it, res, conv = solve_constrained(
+                        A, dofmap, b, mask, g, ndof, "gmres", rtol, atol,
+                        maxiter,
+                    )
                 return x, (it, res)
 
             return jax.lax.scan(step, u0_arr, ts)

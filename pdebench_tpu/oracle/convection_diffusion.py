@@ -37,14 +37,19 @@ from ..fem.assemble import (
     local_supg_load,
     scatter_add,
 )
+import os
+
 from ..solvers.dispatch import (
     _apply_local,
     krylov_method,
     solve_constrained,
+    solve_constrained_ir,
     solve_linear,
 )
 from . import base, scalar
 from .types import OracleResult, compute_rel_L2_grid
+
+_MIXED = os.environ.get("PDEBENCH_TPU_MIXED_PRECISION", "1") == "1"
 
 
 def _beta_fns(params: Dict[str, Any], dim: int):
@@ -144,15 +149,29 @@ class ConvectionDiffusionSolver:
             ndof, mask = space.ndof, ctx.mask
             ts = t0 + dt * jnp.arange(1, num_steps + 1)
 
+            lattice32 = scalar.maybe_lattice32(
+                ctx, local_mass(cb) + dt * assemble_A()
+            ) if _MIXED else None
+
             @jax.jit
             def run_scan(A_sys, M, u0_arr):
+                A32 = A_sys.astype(jnp.float32) if _MIXED else None
+
                 def step(u_n, t_next):
                     f_q = f_fn(qpts, t_next)
                     b = _apply_local(M, dofmap, ndof, u_n) + dt * load(f_q)
                     g = g_fn(t_next)
-                    x, it, res, conv = solve_constrained(
-                        A_sys, dofmap, b, mask, g, ndof, method, rtol, atol, maxiter
-                    )
+                    if _MIXED:
+                        x, it, res, conv = solve_constrained_ir(
+                            A_sys, A32, dofmap, b, mask, g, ndof, rtol, atol,
+                            inner_iters=60, inner="gmres",
+                            lattice32=lattice32,
+                        )
+                    else:
+                        x, it, res, conv = solve_constrained(
+                            A_sys, dofmap, b, mask, g, ndof, method, rtol,
+                            atol, maxiter,
+                        )
                     return x, (it, res)
 
                 return jax.lax.scan(step, u0_arr, ts)

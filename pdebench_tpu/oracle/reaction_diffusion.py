@@ -33,11 +33,19 @@ from ..fem.assemble import (
     local_stiffness,
     scatter_add,
 )
-from ..solvers.dispatch import _apply_local, krylov_method, solve_constrained
+import os
+
+from ..solvers.dispatch import (
+    _apply_local,
+    krylov_method,
+    solve_constrained,
+    solve_constrained_ir,
+)
 from . import base, scalar
 from .types import OracleResult, compute_rel_L2_grid
 
 _U = sp.Symbol("u", real=True)
+_MIXED = os.environ.get("PDEBENCH_TPU_MIXED_PRECISION", "1") == "1"
 
 
 def reaction_expr(reaction: Dict[str, Any]) -> Tuple[sp.Expr, bool]:
@@ -142,10 +150,16 @@ class ReactionDiffusionSolver:
                     rp = Rp_fn(jnp.zeros(()))  # constant alpha
                     A = inv_dt * M + epsilon * K + rp * local_mass(cb)
                     b = inv_dt * _apply_local(M, dofmap, ndof, u_n) + b_f
-                    x, it, res, conv = solve_constrained(
-                        A, dofmap, b, mask, g, ndof, method,
-                        ksp_rtol, newton_atol, maxiter,
-                    )
+                    if _MIXED:
+                        x, it, res, conv = solve_constrained_ir(
+                            A, A.astype(jnp.float32), dofmap, b, mask, g,
+                            ndof, ksp_rtol, newton_atol,
+                        )
+                    else:
+                        x, it, res, conv = solve_constrained(
+                            A, dofmap, b, mask, g, ndof, method,
+                            ksp_rtol, newton_atol, maxiter,
+                        )
                     return x, (it.astype(jnp.int64), res)
 
                 G0 = residual(u_init, u_n, b_f)
@@ -165,10 +179,17 @@ class ReactionDiffusionSolver:
                     rp_q = Rp_fn(u_at_q(u))
                     J = inv_dt * M + epsilon * K + local_mass(cb, rp_q)
                     G = residual(u, u_n, b_f)
-                    d, it, res, conv = solve_constrained(
-                        J, dofmap, -G, mask, jnp.zeros(ndof), ndof,
-                        "gmres", ksp_rtol, newton_atol, maxiter,
-                    )
+                    if _MIXED:
+                        d, it, res, conv = solve_constrained_ir(
+                            J, J.astype(jnp.float32), dofmap, -G, mask,
+                            jnp.zeros(ndof), ndof, ksp_rtol, newton_atol,
+                            inner_iters=60, inner="gmres",
+                        )
+                    else:
+                        d, it, res, conv = solve_constrained(
+                            J, dofmap, -G, mask, jnp.zeros(ndof), ndof,
+                            "gmres", ksp_rtol, newton_atol, maxiter,
+                        )
                     return (u + d, k + 1, lin_it + it.astype(jnp.int64))
 
                 u, k, lin_it = jax.lax.while_loop(
