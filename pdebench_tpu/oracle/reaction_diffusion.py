@@ -179,16 +179,20 @@ class ReactionDiffusionSolver:
                     rp_q = Rp_fn(u_at_q(u))
                     J = inv_dt * M + epsilon * K + local_mass(cb, rp_q)
                     G = residual(u, u_n, b_f)
+                    # inexact Newton: the direction only needs a few
+                    # digits — the OUTER Newton loop enforces the
+                    # nonlinear tolerance (snes_rtol)
+                    lin_rtol = max(1e-6, ksp_rtol)
                     if _MIXED:
                         d, it, res, conv = solve_constrained_ir(
                             J, J.astype(jnp.float32), dofmap, -G, mask,
-                            jnp.zeros(ndof), ndof, ksp_rtol, newton_atol,
-                            inner_iters=60, inner="gmres",
+                            jnp.zeros(ndof), ndof, lin_rtol, newton_atol,
+                            inner_iters=60, inner="gmres", max_outer=10,
                         )
                     else:
                         d, it, res, conv = solve_constrained(
                             J, dofmap, -G, mask, jnp.zeros(ndof), ndof,
-                            "gmres", ksp_rtol, newton_atol, maxiter,
+                            "gmres", lin_rtol, newton_atol, maxiter,
                         )
                     return (u + d, k + 1, lin_it + it.astype(jnp.int64))
 
