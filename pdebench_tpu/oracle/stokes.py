@@ -105,8 +105,11 @@ class StokesSolver:
                 A = constrained_operator(apply_raw, mask)
                 rhs = constrained_rhs(apply_raw, b, mask, g)
                 x0 = jnp.where(mask, g, 0.0)
+                # capped: a saddle MINRES that hasn't converged by 5000
+                # preconditioned iterations won't; the host LU fallback
+                # is faster than grinding to 30k
                 return minres(
-                    A, rhs, x0=x0, M=M, rtol=rtol, atol=atol, maxiter=30000
+                    A, rhs, x0=x0, M=M, rtol=rtol, atol=atol, maxiter=5000
                 )
 
         def run():
@@ -148,10 +151,18 @@ class StokesSolver:
         if _compute_baseline:
             err = scalar.mms_baseline_error(config, fem_grid)
             if err is None and "reference_config" in config:
-                ref = self.solve(
-                    scalar.merge_reference_config(config),
-                    _compute_baseline=False,
-                )
+                ref_cfg = scalar.merge_reference_config(config)
+                # robustness cap mirroring the reference's own Stokes
+                # override (dealii_oracle/oracle.py:411-423: reference
+                # re-solves forced direct and capped at resolution 128):
+                # unbounded P3-P2 saddle re-solves at res 240 are
+                # pathological for any backend
+                mres = int(ref_cfg.get("mesh", {}).get("resolution", 128))
+                ref_cfg.setdefault("mesh", {})["resolution"] = min(mres, 128)
+                fem_cfg = ref_cfg.setdefault("fem", {})
+                fem_cfg["degree_u"] = min(int(fem_cfg.get("degree_u", 2)), 2)
+                fem_cfg["degree_p"] = min(int(fem_cfg.get("degree_p", 1)), 1)
+                ref = self.solve(ref_cfg, _compute_baseline=False)
                 err = compute_rel_L2_grid(fem_grid, ref.reference)
             baseline_error = err if err is not None else 1e-2
 
