@@ -26,17 +26,29 @@ import time
 
 def _suite(max_per_type: int = 1):
     import collections
+    from pathlib import Path
 
-    path = "/root/reference/data/benchmark_v2.jsonl"
+    path = Path(__file__).parent / "data" / "benchmark_v2.jsonl"
+    if not path.exists():
+        path = Path("/root/reference/data/benchmark_v2.jsonl")
     cases = [json.loads(l) for l in open(path)]
     picked = []
     seen = collections.Counter()
-    for c in cases:
+    for c in cases:  # preferred: unit_square MMS cases
         oc = c["oracle_config"]
         t = oc["pde"]["type"]
         if seen[t] >= max_per_type:
             continue
         if oc["domain"]["type"] != "unit_square":
+            continue
+        if "manufactured_solution" not in oc["pde"]:
+            continue
+        picked.append(c)
+        seen[t] += 1
+    for c in cases:  # types with no unit_square MMS case (e.g. wave)
+        oc = c["oracle_config"]
+        t = oc["pde"]["type"]
+        if seen[t] >= max_per_type:
             continue
         if "manufactured_solution" not in oc["pde"]:
             continue
