@@ -138,7 +138,7 @@ def solve_via_cpp(oracle_config: Dict[str, Any]) -> OracleResult:
     solver_info = dict(meta.get("solver_info", {}))
     solver_info.update(library="pdebench_tpu_native", pde=pde_type)
     return OracleResult(
-        baseline_error=float(err if err is not None else 1e-2),
+        baseline_error=float(err if err is not None else 0.0),
         baseline_time=float(meta.get("baseline_time", wall)),
         reference=u,
         solver_info=solver_info,

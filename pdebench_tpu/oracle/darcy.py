@@ -83,7 +83,7 @@ class DarcySolver:
                     _compute_baseline=False,
                 )
                 err = compute_rel_L2_grid(fem_grid, ref.reference)
-            baseline_error = err if err is not None else 1e-2
+            baseline_error = err if err is not None else 0.0
 
         solver_info = {
             "library": "pdebench_tpu",

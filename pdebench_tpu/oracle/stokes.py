@@ -164,7 +164,7 @@ class StokesSolver:
                 fem_cfg["degree_p"] = min(int(fem_cfg.get("degree_p", 1)), 1)
                 ref = self.solve(ref_cfg, _compute_baseline=False)
                 err = compute_rel_L2_grid(fem_grid, ref.reference)
-            baseline_error = err if err is not None else 1e-2
+            baseline_error = err if err is not None else 0.0
 
         solver_info = {
             "library": "pdebench_tpu",
