@@ -324,6 +324,11 @@ def run_single_case(
     reuse_path = None
     if solver_path:
         reuse_path = Path(solver_path)
+        if reuse_path.is_dir():
+            # --eval-existing-dir batch mode: per-case solver files
+            # (reference: run_benchmark.py:401-414, 1451-1472)
+            cand = reuse_path / case_id / f"solver.{ext}"
+            reuse_path = cand if cand.exists() else None
     elif skip_generation and (case_dir / f"solver.{ext}").exists():
         reuse_path = case_dir / f"solver.{ext}"
 
@@ -629,7 +634,17 @@ def main(argv=None):
     )
     ap.add_argument("--agent-config", default=None)
     ap.add_argument("--skip-generation", action="store_true")
-    ap.add_argument("--solver-path", default=None)
+    ap.add_argument(
+        "--solver-path",
+        default=None,
+        help="solver file to evaluate for every case, or a directory of "
+        "<case_id>/solver.py trees (--eval-existing-dir batch mode)",
+    )
+    ap.add_argument(
+        "--eval-existing-dir",
+        dest="solver_path",
+        help="alias of --solver-path pointing at a results-style directory",
+    )
     args = ap.parse_args(argv)
     run_benchmark(args)
 
