@@ -28,10 +28,11 @@ class DarcySolver:
     ) -> OracleResult:
         pde = config["pde"]
         formulation = str(pde.get("formulation", "elliptic")).lower()
+        if formulation in ("mixed", "rt", "hdiv"):
+            return self._solve_mixed(config, _compute_baseline)
         if formulation not in ("elliptic", "pressure"):
             raise NotImplementedError(
-                f"darcy formulation '{formulation}' (mixed RT x DG) is not "
-                "yet implemented; no benchmark case exercises it"
+                f"unknown darcy formulation '{formulation}'"
             )
         mms_u = pde.get("manufactured_solution", {}).get(
             "p", pde.get("manufactured_solution", {}).get("u")
@@ -102,3 +103,145 @@ class DarcySolver:
             solver_info=solver_info,
             num_dofs=ctx.space.ndof,
         )
+
+    def _solve_mixed(
+        self, config: Dict[str, Any], _compute_baseline: bool = True
+    ) -> OracleResult:
+        """Mixed RT0 x DG0: kappa^-1 u + grad p = 0, div u = f.
+
+        Parity: the reference's H(div) formulation (darcy.py:46-61,
+        :290-322 — mixed weak form, flux BCs from the manufactured
+        velocity u = -kappa grad p, pressure point fix, direct LU with
+        explicit convergence check).
+        """
+        import time as _time
+
+        import scipy.sparse as sps
+        import sympy as sp
+
+        from ..solvers import direct as directmod
+
+        from ..fem import sampling
+        from ..fem.hdiv import rt0_local_matrices, rt0_space
+
+        t_start = _time.perf_counter()
+        pde = config["pde"]
+        mms = pde.get("manufactured_solution", {})
+        p_expr = mms.get("p", mms.get("u"))
+        kspec = pde.get("coefficients", {}).get("kappa") or {}
+        kappa_np = base.coefficient_fn(kspec or None, 2)
+
+        mesh = base.build_mesh(config["domain"], config.get("mesh", {}))
+        space = rt0_space(mesh)
+        cells = mesh.cells.astype(np.int64)
+        centroids = mesh.coords[cells].mean(axis=1)
+        kap_c = np.asarray(kappa_np(jnp_asarray(centroids)))
+        if not np.all(kap_c > 0):
+            raise ValueError("darcy permeability must be strictly positive")
+
+        # sources & exact data
+        if p_expr is not None:
+            kexpr = kspec.get("expr", kspec.get("value", 1.0)) if kspec else 1.0
+            f_sym = symbolic.poisson_source(p_expr, kexpr, 2)
+            p_sym = symbolic.parse(p_expr)
+            k_sym = symbolic.parse(kexpr)
+            u_sym = [-k_sym * sp.diff(p_sym, v) for v in (symbolic.X, symbolic.Y)]
+            u_fns = [symbolic.lambdify_numpy(e, 2) for e in u_sym]
+        else:
+            f_sym = pde.get("source_term", 0.0)
+            u_fns = None
+        f_fn = symbolic.lambdify_numpy(f_sym, 2)
+
+        Mloc, Bloc, area = rt0_local_matrices(space, 1.0 / kap_c)
+        ne, nc = space.n_edges, mesh.n_cells
+        N = ne + nc
+
+        ce = space.cell_edges
+        rows = np.repeat(ce, 3, axis=1).reshape(-1)
+        cols = np.tile(ce, (1, 3)).reshape(-1)
+        entries = [
+            (rows, cols, Mloc.reshape(-1)),
+            # -B^T p block (flux row, pressure col)
+            (ce.reshape(-1), ne + np.repeat(np.arange(nc), 3), -np.repeat(Bloc.reshape(-1), 1)),
+            # B u block (pressure row, flux col)
+            (ne + np.repeat(np.arange(nc), 3), ce.reshape(-1), Bloc.reshape(-1)),
+        ]
+        A = sps.coo_matrix(
+            (
+                np.concatenate([e[2] for e in entries]),
+                (
+                    np.concatenate([e[0] for e in entries]),
+                    np.concatenate([e[1] for e in entries]),
+                ),
+            ),
+            shape=(N, N),
+        ).tocsr()
+
+        rhs = np.zeros(N)
+        rhs[ne:] = f_fn(centroids) * area  # int_T f
+
+        # essential flux BCs on boundary edges from the manufactured u
+        mask = np.zeros(N, dtype=bool)
+        g = np.zeros(N)
+        if u_fns is not None:
+            be = space.boundary_edges
+            mask[be] = True
+            # RT0 coefficients are normal-flux densities: with the basis
+            # phi_e = sigma |e|/(2|T|) (x - p_opp) (own edge flux = |e|),
+            # the coefficient equals u . n at the edge
+            un = np.stack([f(space.edge_midpoints[be]) for f in u_fns], 1)
+            g[be] = (un * space.edge_normals[be]).sum(1)
+        # pressure point fix (cell 0)
+        mask[ne] = True
+        if p_expr is not None:
+            g[ne] = float(
+                symbolic.lambdify_numpy(p_expr, 2)(centroids[:1])[0]
+            )
+        t_setup = _time.perf_counter() - t_start
+
+        def run():
+            x = directmod.solve_direct_constrained(A, rhs, mask, g)
+            # convergence check on the free rows (reference darcy.py:318-322)
+            resid = np.linalg.norm((A @ x - rhs)[~mask])
+            p = x[ne:]
+            grid_cfg = config["output"]["grid"]
+            pts, shape = sampling.grid_points(grid_cfg)
+            loc = sampling.locate_points(mesh, pts)
+            vals = np.where(
+                loc.found, p[np.maximum(loc.cells, 0)], np.nan
+            )
+            return vals.reshape(shape), {"residual": float(resid)}
+
+        (fem_grid, info), t_warm, t_cold = base.timed_run(run)
+
+        baseline_error = 0.0
+        if _compute_baseline and p_expr is not None:
+            exact = base.exact_grid_scalar(
+                p_expr, config["output"]["grid"], mask_from=fem_grid
+            )
+            baseline_error = compute_rel_L2_grid(fem_grid, exact)
+
+        return OracleResult(
+            baseline_error=float(baseline_error),
+            baseline_time=float(t_setup + t_warm),
+            reference=fem_grid,
+            solver_info={
+                "library": "pdebench_tpu",
+                "pde": "darcy",
+                "formulation": "mixed_rt0_dg0",
+                "ksp_type": "preonly",
+                "pc_type": "lu",
+                "rtol": 1e-10,
+                "iterations": 1,
+                "t_setup": t_setup,
+                "t_cold": t_cold,
+                **info,
+            },
+            num_dofs=N,
+        )
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)

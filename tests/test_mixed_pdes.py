@@ -150,3 +150,26 @@ def test_darcy_elliptic():
     }
     r = S.solve(cfg)
     assert r.baseline_error < 5e-3
+
+
+def test_darcy_mixed_rt0():
+    """Mixed RT0 x DG0: O(h) pressure convergence on the unit square."""
+    errs = []
+    for res in (16, 32):
+        cfg = {
+            "pde": {
+                "type": "darcy",
+                "formulation": "mixed",
+                "coefficients": {"kappa": {"type": "constant", "value": 1.0}},
+                "manufactured_solution": {"p": "sin(pi*x)*sin(pi*y)"},
+            },
+            "domain": {"type": "unit_square"},
+            "mesh": {"resolution": res},
+            "fem": {"family": "RT", "degree": 1},
+            "bc": {},
+            "output": {"grid": {"bbox": [0, 1, 0, 1], "nx": 40, "ny": 40}},
+            "oracle_solver": {"ksp_type": "preonly", "pc_type": "lu"},
+        }
+        errs.append(S.solve(cfg).baseline_error)
+    assert errs[0] < 0.1
+    assert errs[1] < 0.65 * errs[0]  # O(h)
