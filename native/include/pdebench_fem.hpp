@@ -250,9 +250,26 @@ inline void assemble_load(const Mesh& m, F f, std::vector<double>& b) {
   int npc = m.nodes_per_cell;
   double grads[4][3];
   std::fill(b.begin(), b.end(), 0.0);
+  if (m.dim == 2) {
+    // edge-midpoint rule (degree-2 exact): weights vol/3, and each
+    // midpoint contributes phi_a = 1/2 to its two adjacent vertices
+    for (size_t c = 0; c < m.cells.size(); ++c) {
+      double vol = cell_grads(m, (int)c, grads);
+      const auto& cell = m.cells[c];
+      for (int e = 0; e < 3; ++e) {
+        int a = cell[(e + 1) % 3], bb = cell[(e + 2) % 3];
+        double mx = 0.5 * (m.coords[a][0] + m.coords[bb][0]);
+        double my = 0.5 * (m.coords[a][1] + m.coords[bb][1]);
+        double fv = f(mx, my, 0.0) * vol / 3.0;
+        b[a] += 0.5 * fv;
+        b[bb] += 0.5 * fv;
+      }
+    }
+    return;
+  }
   for (size_t c = 0; c < m.cells.size(); ++c) {
     double vol = cell_grads(m, (int)c, grads);
-    // nodal (vertex) quadrature: exact enough at P1 oracle accuracy
+    // nodal (vertex) quadrature for tets
     for (int a = 0; a < npc; ++a) {
       const auto& p = m.coords[m.cells[c][a]];
       b[m.cells[c][a]] += f(p[0], p[1], p[2]) * vol / npc;

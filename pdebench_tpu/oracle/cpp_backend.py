@@ -34,7 +34,15 @@ from .types import OracleResult, compute_rel_L2_grid
 _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
 _BINARY = _NATIVE_DIR / "build" / "scalar_solver"
 
-_SUPPORTED_PDES = ("poisson", "helmholtz", "heat", "darcy")
+_SUPPORTED_PDES = (
+    "poisson",
+    "helmholtz",
+    "heat",
+    "darcy",
+    "convection_diffusion",
+    "wave",
+    "reaction_diffusion",
+)
 _SUPPORTED_DOMAINS = ("unit_square", "unit_cube")
 
 
@@ -69,13 +77,47 @@ def preprocess_case_spec(config: Dict[str, Any]) -> Dict[str, Any]:
     t = pde.get("type")
     kspec = pde.get("coefficients", {}).get("kappa") or {}
     kexpr = kspec.get("expr", kspec.get("value", 1.0)) if kspec else 1.0
+    params = pde.get("pde_params", {})
     if t in ("poisson", "darcy"):
         src = symbolic.poisson_source(u_sym, kexpr, dim)
     elif t == "helmholtz":
-        k = float(pde.get("pde_params", {}).get("k", 1.0))
+        k = float(params.get("k", 1.0))
         src = sp.simplify(-symbolic.laplacian(u_sym, dim) - k * k * u_sym)
     elif t == "heat":
         src = symbolic.heat_source(u_sym, kexpr, dim)
+        pde["_computed_ic"] = str(u_sym)
+    elif t == "convection_diffusion":
+        eps = float(params.get("epsilon", 1.0))
+        beta = params.get("beta", [0.0] * dim)
+        sv = [symbolic.X, symbolic.Y, symbolic.Z][:dim]
+        conv = sum(
+            symbolic.parse(b) * sp.diff(u_sym, v) for b, v in zip(beta, sv)
+        )
+        src = -eps * symbolic.laplacian(u_sym, dim) + conv
+        if pde.get("time"):
+            src = sp.diff(u_sym, symbolic.T) + src
+            pde["_computed_ic"] = str(u_sym)
+    elif t == "wave":
+        c = float(params.get("c", 1.0))
+        src = sp.simplify(
+            sp.diff(u_sym, symbolic.T, 2)
+            - c * c * symbolic.laplacian(u_sym, dim)
+        )
+        pde["_computed_ic"] = str(u_sym)
+        pde["_computed_iv"] = str(sp.diff(u_sym, symbolic.T))
+    elif t == "reaction_diffusion":
+        eps = float(params.get("epsilon", 1.0))
+        reaction = params.get("reaction", {})
+        if str(reaction.get("type", "linear")).lower() != "linear":
+            raise NotImplementedError(
+                "native backend: nonlinear reactions unsupported"
+            )
+        alpha = symbolic.parse(reaction.get("alpha", 0.0))
+        src = (
+            sp.diff(u_sym, symbolic.T)
+            - eps * symbolic.laplacian(u_sym, dim)
+            + alpha * u_sym
+        )
         pde["_computed_ic"] = str(u_sym)
     else:
         return cfg
@@ -121,14 +163,21 @@ def solve_via_cpp(oracle_config: Dict[str, Any]) -> OracleResult:
     wall = time.perf_counter() - t0
 
     t_final = None
-    if pde_type == "heat":
+    if pde_type in ("heat", "wave", "reaction_diffusion") or (
+        pde_type == "convection_diffusion"
+        and oracle_config["pde"].get("time")
+    ):
         tcfg = oracle_config["pde"].get("time", {})
         t0_, te, dt = (
             float(tcfg.get("t0", 0.0)),
             float(tcfg.get("t_end", 0.1)),
             float(tcfg.get("dt", 0.01)),
         )
-        t_final = t0_ + max(int((te - t0_) / dt + 0.5), 1) * dt
+        if pde_type in ("heat", "wave"):
+            steps = max(int((te - t0_) / dt + 0.5), 1)  # round
+        else:
+            steps = max(int(-(-((te - t0_) / dt) // 1)), 1)  # ceil
+        t_final = t0_ + steps * dt
 
     err = scalar.mms_baseline_error(oracle_config, u, t_end=t_final)
     if err is None and "reference_config" in oracle_config:
