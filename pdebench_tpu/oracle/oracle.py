@@ -26,6 +26,9 @@ _SOLVERS = {
     "stokes": ("stokes", "StokesSolver"),
     "navier_stokes": ("navier_stokes", "NavierStokesSolver"),
     "darcy": ("darcy", "DarcySolver"),
+    # north-star nonlinear configs beyond the reference's 12 types
+    "hyperelasticity": ("hyperelasticity", "HyperelasticitySolver"),
+    "cahn_hilliard": ("cahn_hilliard", "CahnHilliardSolver"),
 }
 
 
