@@ -83,7 +83,12 @@ class HeatSolver:
             # gather-free f32 inner iterations on structured meshes
             # (TPU-gated inside maybe_lattice32)
             A_pre = local_mass(cb) + dt * local_stiffness(cb, kappa(qpts))
-            lattice32 = scalar.maybe_lattice32(ctx, A_pre)
+            lattice32 = scalar.attach_gmg(
+                scalar.maybe_lattice32(ctx, A_pre),
+                A_pre,
+                space,
+                np.asarray(mask),
+            )
 
         @jax.jit
         def run_scan(A_sys, M, u0_arr):

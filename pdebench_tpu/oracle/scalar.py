@@ -116,9 +116,9 @@ def maybe_lattice32(ctx: ScalarContext, A_local) -> Optional[object]:
     """Stencil (f32) form of a scalar operator when dofs form a lattice
     (structured unit_square/unit_cube meshes); None otherwise.
 
-    TPU-only by default: the gather-free stencil apply beats the
-    cell-batched form on TPU (where gathers/scatters are the
-    bottleneck) but loses to AMG-CG on CPU. Override with
+    2-D lattices are enabled everywhere (the stencil-GMG V-cycle beats
+    every other path on both CPU and TPU); 3-D lattices (no GMG yet)
+    only pay off on TPU where gathers are the bottleneck. Override with
     PDEBENCH_TPU_FORCE_STENCIL=1/0.
     """
     import os
@@ -128,7 +128,11 @@ def maybe_lattice32(ctx: ScalarContext, A_local) -> Optional[object]:
     force = os.environ.get("PDEBENCH_TPU_FORCE_STENCIL")
     if force == "0":
         return None
-    if force != "1" and _jax.devices()[0].platform not in ("tpu", "axon"):
+    if (
+        force != "1"
+        and ctx.mesh.dim == 3
+        and _jax.devices()[0].platform not in ("tpu", "axon")
+    ):
         return None
     from ..solvers.stencil import lattice_operator_from_local
 
@@ -142,6 +146,33 @@ def maybe_lattice32(ctx: ScalarContext, A_local) -> Optional[object]:
         )
     except Exception:
         return None
+
+
+def attach_gmg(lat32, A_local, space, mask_np) -> object:
+    """Attach a stencil-GMG hierarchy (built on the CONSTRAINED matrix)
+    to a 2-D LatticeOperator; no-op otherwise."""
+    if lat32 is None or len(lat32.shape) != 2 or space.ndof < 5000:
+        return lat32
+    try:
+        from ..fem.assemble import LocalOperator
+        from ..solvers.amg import constrained_csr
+        from ..solvers.gmg import setup_gmg
+        from ..solvers.stencil import LatticeOperator
+
+        A = LocalOperator(
+            np.asarray(A_local), space.dofmap_scalar, space.ndof
+        ).to_scipy()
+        A_bc = constrained_csr(A, mask_np)
+        lat_bc = LatticeOperator(A_bc, lat32.lattice, dtype=jnp.float32)
+        lat32.gmg = setup_gmg(
+            np.asarray(lat_bc.W, dtype=np.float64),
+            lat_bc.offsets,
+            lat_bc.shape,
+            dtype=jnp.float32,
+        )
+    except Exception:
+        lat32.gmg = None
+    return lat32
 
 
 def mms_baseline_error(

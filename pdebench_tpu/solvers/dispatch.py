@@ -128,13 +128,22 @@ def solve_constrained_ir(
         perm = lattice32.perm_j
         inv = lattice32.inv_j
         mask_lat = mask[perm]
-        diag_lat = scatter_add(
-            jnp.einsum("cii->ci", A32_local), dofmap, ndof
-        )[perm]
-        M32 = jacobi_preconditioner(
-            jnp.where(mask_lat, 1.0, diag_lat).astype(jnp.float32)
-        )
         shape = lattice32.shape
+        gmg = getattr(lattice32, "gmg", None)
+        if gmg is not None:
+            # stencil-GMG V-cycle: entirely shifted multiply-adds
+            vcyc = gmg.precond()
+
+            def M32(r_lat):
+                return vcyc(r_lat.reshape(shape)).reshape(-1)
+
+        else:
+            diag_lat = scatter_add(
+                jnp.einsum("cii->ci", A32_local), dofmap, ndof
+            )[perm]
+            M32 = jacobi_preconditioner(
+                jnp.where(mask_lat, 1.0, diag_lat).astype(jnp.float32)
+            )
 
         def A32(v_lat):
             vz = jnp.where(mask_lat, 0.0, v_lat)
@@ -266,10 +275,38 @@ def solve_linear(
         key = ("stencil_ir", inner, op.ndof)
         if key not in cache:
             dofmap_c = op.dofmap
-            # cg: long jacobi bursts keep the (slow-on-TPU) f64 residual
-            # recomputations rare; gmres: one 60-dim Arnoldi cycle per
-            # outer round (FGMRES-IR)
-            n_inner = 100 if inner == "cg" else 60
+            # attach a stencil-GMG V-cycle for 2-D SPD lattices: the
+            # whole preconditioner is shifted multiply-adds
+            if (
+                inner == "cg"
+                and len(lat32.shape) == 2
+                and op.ndof >= 5000  # setup cost beats jacobi only at size
+                and getattr(lat32, "gmg", None) is None
+            ):
+                try:
+                    from .amg import constrained_csr
+                    from .gmg import setup_gmg
+                    from .stencil import LatticeOperator
+
+                    A_bc = constrained_csr(op.to_scipy(), np.asarray(mask))
+                    lat_bc = LatticeOperator(
+                        A_bc, lat32.lattice, dtype=jnp.float32
+                    )
+                    lat32.gmg = setup_gmg(
+                        np.asarray(lat_bc.W, dtype=np.float64),
+                        lat_bc.offsets,
+                        lat_bc.shape,
+                        dtype=jnp.float32,
+                    )
+                except Exception:
+                    lat32.gmg = None
+            has_gmg = getattr(lat32, "gmg", None) is not None
+            # with GMG the inner converges in ~15 its; jacobi needs long
+            # bursts to keep the (slow-on-TPU) f64 residuals rare
+            if inner == "cg":
+                n_inner = 25 if has_gmg else 100
+            else:
+                n_inner = 60
 
             def _solve_stencil(A_local, A32_local, b_in, mask_in, g_in):
                 return solve_constrained_ir(
