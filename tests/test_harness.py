@@ -278,3 +278,41 @@ def test_cpp_executor_compile_error(tmp_path):
     r = ex.execute("int main( {", _case(), str(tmp_path / "out"))
     assert not r.success
     assert "compile failed" in r.error_message
+
+
+def test_oracle_runner_cli(tmp_path):
+    """python -m pdebench_tpu.oracle.runner <spec> <outdir> writes
+    reference.npy + meta.json (process-isolation entry)."""
+    import subprocess
+    import sys
+
+    spec = {
+        "pde": {"type": "poisson",
+                "manufactured_solution": {"u": "sin(pi*x)*sin(pi*y)"}},
+        "domain": {"type": "unit_square"},
+        "mesh": {"resolution": 16},
+        "fem": {"degree": 1},
+        "bc": {"dirichlet": {"on": "all", "value": "0"}},
+        "output": {"grid": {"bbox": [0, 1, 0, 1], "nx": 12, "ny": 12}},
+        "oracle_solver": {"ksp_type": "cg", "pc_type": "jacobi", "rtol": 1e-9},
+    }
+    spec_path = tmp_path / "case.json"
+    spec_path.write_text(json.dumps(spec))
+    out = tmp_path / "out"
+    import os
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(Path(__file__).resolve().parents[1])
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');\n"
+        "import sys; from pdebench_tpu.oracle.runner import main;\n"
+        f"sys.exit(main(['{spec_path}', '{out}']))"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        env=env, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-1000:]
+    ref = np.load(out / "reference.npy")
+    assert ref.shape == (12, 12)
+    meta = json.load(open(out / "meta.json"))
+    assert meta["success"] and meta["baseline_error"] < 5e-2
