@@ -151,7 +151,7 @@ def maybe_lattice32(ctx: ScalarContext, A_local) -> Optional[object]:
 def attach_gmg(lat32, A_local, space, mask_np) -> object:
     """Attach a stencil-GMG hierarchy (built on the CONSTRAINED matrix)
     to a 2-D LatticeOperator; no-op otherwise."""
-    if lat32 is None or len(lat32.shape) != 2 or space.ndof < 5000:
+    if lat32 is None or len(lat32.shape) not in (2, 3) or space.ndof < 5000:
         return lat32
     try:
         from ..fem.assemble import LocalOperator

@@ -279,7 +279,7 @@ def solve_linear(
             # whole preconditioner is shifted multiply-adds
             if (
                 inner == "cg"
-                and len(lat32.shape) == 2
+                and len(lat32.shape) in (2, 3)
                 and op.ndof >= 5000  # setup cost beats jacobi only at size
                 and getattr(lat32, "gmg", None) is None
             ):

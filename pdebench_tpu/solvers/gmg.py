@@ -33,48 +33,64 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
+import itertools
+
+
 def _apply_stencil_np(W: np.ndarray, offsets, u: np.ndarray) -> np.ndarray:
     pad = int(max(abs(o) for off in offsets for o in off)) if offsets else 0
     up = np.pad(u, pad)
     out = np.zeros_like(u)
-    ny, nx = u.shape
-    for k, (dy, dx) in enumerate(offsets):
-        out += W[k] * up[pad + dy : pad + dy + ny, pad + dx : pad + dx + nx]
+    for k, off in enumerate(offsets):
+        sl = tuple(slice(pad + o, pad + o + s) for o, s in zip(off, u.shape))
+        out += W[k] * up[sl]
     return out
 
 
 def _restrict_np(u: np.ndarray) -> np.ndarray:
     """Full weighting at even points; shape (m+1,)->(m/2+1,) per axis."""
     k = np.array([0.25, 0.5, 0.25])
+    dim = u.ndim
     up = np.pad(u, 1)
-    ny, nx = u.shape
     out = np.zeros_like(u)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            out += (
-                k[dy + 1]
-                * k[dx + 1]
-                * up[1 + dy : 1 + dy + ny, 1 + dx : 1 + dx + nx]
-            )
-    return out[::2, ::2]
+    for off in itertools.product((-1, 0, 1), repeat=dim):
+        w = np.prod([k[o + 1] for o in off])
+        sl = tuple(slice(1 + o, 1 + o + s) for o, s in zip(off, u.shape))
+        out += w * up[sl]
+    return out[(slice(None, None, 2),) * dim]
 
 
 def _prolong_np(uc: np.ndarray, fine_shape) -> np.ndarray:
-    """Bilinear interpolation from the even-point coarse lattice."""
-    ny, nx = fine_shape
+    """Multilinear interpolation from the even-point coarse lattice.
+
+    Axis-by-axis: inject at even points, then average odd points along
+    each axis in turn (gives exact bi/tri-linear weights)."""
+    dim = len(fine_shape)
     out = np.zeros(fine_shape, dtype=uc.dtype)
-    out[::2, ::2] = uc
-    out[1::2, ::2] = 0.5 * (out[:-1:2, ::2] + out[2::2, ::2])
-    out[:, 1::2] = 0.5 * (out[:, :-1:2] + out[:, 2::2])
+    out[(slice(None, None, 2),) * dim] = uc
+    for ax in range(dim):
+        even = [slice(None)] * dim
+        odd = [slice(None)] * dim
+        lo = [slice(None)] * dim
+        hi = [slice(None)] * dim
+        # along ax, only where previous axes already filled: previous
+        # axes are fully filled, later axes still even-only — restrict
+        # later axes to even indices
+        for later in range(ax + 1, dim):
+            for sl in (odd, lo, hi):
+                sl[later] = slice(None, None, 2)
+        odd[ax] = slice(1, None, 2)
+        lo[ax] = slice(None, -1, 2)
+        hi[ax] = slice(2, None, 2)
+        out[tuple(odd)] = 0.5 * (out[tuple(lo)] + out[tuple(hi)])
     return out
 
 
 def _coarsen_stencil(
     W: np.ndarray, offsets, shape
 ) -> Tuple[np.ndarray, list, tuple]:
-    """Galerkin coarse stencil A_c = R A P via comb probing."""
-    ny, nx = shape
-    nyc, nxc = (ny - 1) // 2 + 1, (nx - 1) // 2 + 1
+    """Galerkin coarse stencil A_c = R A P via comb probing (any dim)."""
+    dim = len(shape)
+    shape_c = tuple((s - 1) // 2 + 1 for s in shape)
     pad_f = int(max(abs(o) for off in offsets for o in off))
     # T's coarse reach: (pad_f + 2) / 2 rounded up
     pad_c = -(-(pad_f + 2) // 2)
@@ -82,37 +98,35 @@ def _coarsen_stencil(
 
     # responses to coarse indicator combs, one per phase
     resp = {}
-    for py in range(s):
-        for px in range(s):
-            e = np.zeros((nyc, nxc))
-            e[py::s, px::s] = 1.0
-            Te = _restrict_np(
-                _apply_stencil_np(W, offsets, _prolong_np(e, shape))
-            )
-            resp[(py, px)] = Te
+    for phase in itertools.product(range(s), repeat=dim):
+        e = np.zeros(shape_c)
+        e[tuple(slice(p, None, s) for p in phase)] = 1.0
+        resp[phase] = _restrict_np(
+            _apply_stencil_np(W, offsets, _prolong_np(e, shape))
+        )
 
-    offs_c = [
-        (dy, dx)
-        for dy in range(-pad_c, pad_c + 1)
-        for dx in range(-pad_c, pad_c + 1)
-    ]
-    PY, PX = np.meshgrid(np.arange(nyc), np.arange(nxc), indexing="ij")
-    Wc = np.zeros((len(offs_c), nyc, nxc))
-    for k, (dy, dx) in enumerate(offs_c):
-        cy, cx = PY + dy, PX + dx
-        valid = (cy >= 0) & (cy < nyc) & (cx >= 0) & (cx < nxc)
-        phase_y = np.mod(cy, s)
-        phase_x = np.mod(cx, s)
-        vals = np.zeros((nyc, nxc))
-        for py in range(s):
-            for px in range(s):
-                m = valid & (phase_y == py) & (phase_x == px)
-                if m.any():
-                    vals[m] = resp[(py, px)][PY[m], PX[m]]
+    offs_c = list(
+        itertools.product(range(-pad_c, pad_c + 1), repeat=dim)
+    )
+    grids = np.meshgrid(*[np.arange(n) for n in shape_c], indexing="ij")
+    Wc = np.zeros((len(offs_c),) + shape_c)
+    for k, off in enumerate(offs_c):
+        col = [g + o for g, o in zip(grids, off)]
+        valid = np.ones(shape_c, dtype=bool)
+        for c, n in zip(col, shape_c):
+            valid &= (c >= 0) & (c < n)
+        phases = [np.mod(c, s) for c in col]
+        vals = np.zeros(shape_c)
+        for phase in itertools.product(range(s), repeat=dim):
+            m = valid.copy()
+            for p, ph in zip(phases, phase):
+                m &= p == ph
+            if m.any():
+                vals[m] = resp[phase][tuple(g[m] for g in grids)]
         Wc[k] = vals
     # drop all-zero offsets
     keep = [k for k in range(len(offs_c)) if np.abs(Wc[k]).max() > 0]
-    return Wc[keep], [offs_c[k] for k in keep], (nyc, nxc)
+    return Wc[keep], [offs_c[k] for k in keep], shape_c
 
 
 # ---------------------------------------------------------------------------
@@ -139,24 +153,42 @@ def _device_apply(level: GMGLevel, u: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+_FW = (0.25, 0.5, 0.25)
+
+
 def _device_restrict(u: jnp.ndarray) -> jnp.ndarray:
-    k = jnp.asarray([0.25, 0.5, 0.25], dtype=u.dtype)
+    dim = u.ndim
     up = jnp.pad(u, 1)
-    ny, nx = u.shape
     out = jnp.zeros_like(u)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            out = out + k[dy + 1] * k[dx + 1] * jax.lax.dynamic_slice(
-                up, (1 + dy, 1 + dx), (ny, nx)
-            )
-    return out[::2, ::2]
+    import itertools as _it
+
+    for off in _it.product((-1, 0, 1), repeat=dim):
+        w = 1.0
+        for o in off:
+            w *= _FW[o + 1]
+        out = out + w * jax.lax.dynamic_slice(
+            up, tuple(1 + o for o in off), u.shape
+        )
+    return out[(slice(None, None, 2),) * dim]
 
 
 def _device_prolong(uc: jnp.ndarray, fine_shape) -> jnp.ndarray:
+    dim = len(fine_shape)
     out = jnp.zeros(fine_shape, dtype=uc.dtype)
-    out = out.at[::2, ::2].set(uc)
-    out = out.at[1::2, ::2].set(0.5 * (out[:-1:2, ::2] + out[2::2, ::2]))
-    out = out.at[:, 1::2].set(0.5 * (out[:, :-1:2] + out[:, 2::2]))
+    out = out.at[(slice(None, None, 2),) * dim].set(uc)
+    for ax in range(dim):
+        odd = [slice(None)] * dim
+        lo = [slice(None)] * dim
+        hi = [slice(None)] * dim
+        for later in range(ax + 1, dim):
+            for sl in (odd, lo, hi):
+                sl[later] = slice(None, None, 2)
+        odd[ax] = slice(1, None, 2)
+        lo[ax] = slice(None, -1, 2)
+        hi[ax] = slice(2, None, 2)
+        out = out.at[tuple(odd)].set(
+            0.5 * (out[tuple(lo)] + out[tuple(hi)])
+        )
     return out
 
 
@@ -184,10 +216,10 @@ class LatticeGMG:
 
 def _level_from_np(W, offsets, shape, dtype) -> GMGLevel:
     pad = int(max(abs(o) for off in offsets for o in off))
-    # diagonal = the (0,0) offset plane
+    # diagonal = the all-zero offset plane
     diag = None
     for k, off in enumerate(offsets):
-        if off == (0, 0):
+        if all(o == 0 for o in off):
             diag = W[k]
     diag = np.where(np.abs(diag) > 1e-300, diag, 1.0)
     # spectral-safe damping via power iteration on D^-1 A
@@ -227,18 +259,17 @@ def setup_gmg(
         map(tuple, offsets)
     ), tuple(shape)
     while (
-        shape_cur[0] * shape_cur[1] > coarse_size
+        int(np.prod(shape_cur)) > coarse_size
         and len(levels) < max_levels
         # halving needs an odd point count (m+1 points, m even) per axis
-        and (shape_cur[0] - 1) % 2 == 0
-        and (shape_cur[1] - 1) % 2 == 0
+        and all((s - 1) % 2 == 0 and s >= 5 for s in shape_cur)
     ):
         levels.append(_level_from_np(W_cur, offs_cur, shape_cur, dtype))
         W_cur, offs_cur, shape_cur = _coarsen_stencil(
             W_cur, offs_cur, shape_cur
         )
     # dense coarse inverse
-    n = shape_cur[0] * shape_cur[1]
+    n = int(np.prod(shape_cur))
     A = np.zeros((n, n))
     for j in range(n):
         e = np.zeros(shape_cur)
