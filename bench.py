@@ -73,6 +73,11 @@ def _cpu_proxy_time(oracle_config) -> float:
 
 
 def main():
+    import os
+
+    # remote-TPU execution is noisy; take the best of 3 warm passes
+    os.environ.setdefault("PDEBENCH_TPU_WARM_REPEATS", "3")
+
     import jax
 
     jax.config.update("jax_enable_x64", True)

@@ -304,6 +304,9 @@ def exact_grid_vector_magnitude(
 # ---------------------------------------------------------------------------
 
 _COLD = os.environ.get("PDEBENCH_TPU_COLD_TIMING", "0") == "1"
+# remote-TPU execution times are noisy (shared service); benchmarks can
+# take the best of N warm passes
+_WARM_REPEATS = max(int(os.environ.get("PDEBENCH_TPU_WARM_REPEATS", "1")), 1)
 
 
 def timed_run(run: Callable[[], Any]) -> Tuple[Any, float, float]:
@@ -313,9 +316,12 @@ def timed_run(run: Callable[[], Any]) -> Tuple[Any, float, float]:
     t_cold = time.perf_counter() - t0
     if _COLD:
         return result, t_cold, t_cold
-    t1 = time.perf_counter()
-    result = run()
-    t_warm = time.perf_counter() - t1
+    t_warm = None
+    for _ in range(_WARM_REPEATS):
+        t1 = time.perf_counter()
+        result = run()
+        dt = time.perf_counter() - t1
+        t_warm = dt if t_warm is None else min(t_warm, dt)
     return result, t_warm, t_cold
 
 
