@@ -81,6 +81,10 @@ class LinearElasticitySolver:
 
         # one-time solver options (holds the jit/preconditioner cache)
         run_opts = dict(opts)
+        # structured meshes: gather-free block stencil + block GMG
+        run_opts["_lattice32"] = scalar.maybe_block_lattice32(
+            ctx, local_elasticity(cb, mu, lam)
+        )
         if space.ndof >= 20000:
             from ..solvers.amg import rigid_body_modes
 

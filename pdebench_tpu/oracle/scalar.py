@@ -150,29 +150,57 @@ def maybe_lattice32(ctx: ScalarContext, A_local) -> Optional[object]:
 
 def attach_gmg(lat32, A_local, space, mask_np) -> object:
     """Attach a stencil-GMG hierarchy (built on the CONSTRAINED matrix)
-    to a 2-D LatticeOperator; no-op otherwise."""
+    to a lattice operator; no-op otherwise."""
     if lat32 is None or len(lat32.shape) not in (2, 3) or space.ndof < 5000:
         return lat32
     try:
         from ..fem.assemble import LocalOperator
-        from ..solvers.amg import constrained_csr
-        from ..solvers.gmg import setup_gmg
-        from ..solvers.stencil import LatticeOperator
+        from ..solvers.gmg import attach_lattice_gmg
 
-        A = LocalOperator(
-            np.asarray(A_local), space.dofmap_scalar, space.ndof
-        ).to_scipy()
-        A_bc = constrained_csr(A, mask_np)
-        lat_bc = LatticeOperator(A_bc, lat32.lattice, dtype=jnp.float32)
-        lat32.gmg = setup_gmg(
-            np.asarray(lat_bc.W, dtype=np.float64),
-            lat_bc.offsets,
-            lat_bc.shape,
-            dtype=jnp.float32,
+        dofmap = (
+            space.dofmap
+            if getattr(lat32, "ncomp", 1) > 1
+            else space.dofmap_scalar
         )
+        A = LocalOperator(
+            np.asarray(A_local), dofmap, space.ndof
+        ).to_scipy()
+        attach_lattice_gmg(lat32, A, mask_np)
     except Exception:
         lat32.gmg = None
     return lat32
+
+
+def maybe_block_lattice32(ctx: ScalarContext, A_local) -> Optional[object]:
+    """Block-stencil (f32) form of a VECTOR operator on a node lattice
+    (structured meshes); None otherwise. Same platform gating as
+    maybe_lattice32."""
+    import os
+
+    import jax as _jax
+
+    force = os.environ.get("PDEBENCH_TPU_FORCE_STENCIL")
+    if force == "0":
+        return None
+    if (
+        force != "1"
+        and ctx.mesh.dim == 3
+        and _jax.devices()[0].platform not in ("tpu", "axon")
+    ):
+        return None
+    from ..solvers.stencil import block_lattice_operator_from_local
+
+    try:
+        return block_lattice_operator_from_local(
+            np.asarray(A_local),
+            ctx.space.dofmap,
+            ctx.space.ndof,
+            ctx.space.dof_coords,
+            ctx.space.ncomp,
+            dtype=jnp.float32,
+        )
+    except Exception:
+        return None
 
 
 def mms_baseline_error(

@@ -128,14 +128,14 @@ def solve_constrained_ir(
         perm = lattice32.perm_j
         inv = lattice32.inv_j
         mask_lat = mask[perm]
-        shape = lattice32.shape
+        gshape = lattice32.grid_shape
         gmg = getattr(lattice32, "gmg", None)
         if gmg is not None:
             # stencil-GMG V-cycle: entirely shifted multiply-adds
             vcyc = gmg.precond()
 
             def M32(r_lat):
-                return vcyc(r_lat.reshape(shape)).reshape(-1)
+                return vcyc(r_lat.reshape(gshape)).reshape(-1)
 
         else:
             diag_lat = scatter_add(
@@ -147,7 +147,7 @@ def solve_constrained_ir(
 
         def A32(v_lat):
             vz = jnp.where(mask_lat, 0.0, v_lat)
-            y = lattice32.apply_grid(vz.reshape(shape)).reshape(-1)
+            y = lattice32.apply_grid(vz.reshape(gshape)).reshape(-1)
             return jnp.where(mask_lat, v_lat, y)
 
         x, info = refined_solve(
@@ -266,17 +266,15 @@ def solve_linear(
         and lat32 is not None
         and os.environ.get("PDEBENCH_TPU_MIXED_PRECISION", "1") == "1"
     ):
-        inner = (
-            "cg"
-            if (symmetric and krylov_method(opts, symmetric) == "cg")
-            else "gmres"
-        )
+        # SPD systems run CG regardless of the case's requested ksp (the
+        # reference's gmres+hypre elasticity configs are SPD)
+        inner = "cg" if symmetric else "gmres"
         cache = opts.setdefault("_jit_cache", {})
         key = ("stencil_ir", inner, op.ndof)
         if key not in cache:
             dofmap_c = op.dofmap
-            # attach a stencil-GMG V-cycle for 2-D SPD lattices: the
-            # whole preconditioner is shifted multiply-adds
+            # attach a stencil-GMG V-cycle (scalar or block): the whole
+            # preconditioner is shifted multiply-adds
             if (
                 inner == "cg"
                 and len(lat32.shape) in (2, 3)
@@ -284,19 +282,10 @@ def solve_linear(
                 and getattr(lat32, "gmg", None) is None
             ):
                 try:
-                    from .amg import constrained_csr
-                    from .gmg import setup_gmg
-                    from .stencil import LatticeOperator
+                    from .gmg import attach_lattice_gmg
 
-                    A_bc = constrained_csr(op.to_scipy(), np.asarray(mask))
-                    lat_bc = LatticeOperator(
-                        A_bc, lat32.lattice, dtype=jnp.float32
-                    )
-                    lat32.gmg = setup_gmg(
-                        np.asarray(lat_bc.W, dtype=np.float64),
-                        lat_bc.offsets,
-                        lat_bc.shape,
-                        dtype=jnp.float32,
+                    attach_lattice_gmg(
+                        lat32, op.to_scipy(), np.asarray(mask)
                     )
                 except Exception:
                     lat32.gmg = None

@@ -243,6 +243,259 @@ def _level_from_np(W, offsets, shape, dtype) -> GMGLevel:
     )
 
 
+# ---------------------------------------------------------------------------
+# block (vector) lattices — elasticity-class systems
+# ---------------------------------------------------------------------------
+
+
+def _apply_block_np(W, offsets, u):
+    """u (..., d) -> (..., d) with block stencil W (K, ..., d, d)."""
+    pad = int(max(abs(o) for off in offsets for o in off)) if offsets else 0
+    spatial = u.shape[:-1]
+    up = np.pad(u, [(pad, pad)] * len(spatial) + [(0, 0)])
+    out = np.zeros_like(u)
+    for k, off in enumerate(offsets):
+        sl = tuple(
+            slice(pad + o, pad + o + s) for o, s in zip(off, spatial)
+        ) + (slice(None),)
+        out += np.einsum("...ab,...b->...a", W[k], up[sl])
+    return out
+
+
+def _restrict_block_np(u):
+    return np.stack(
+        [_restrict_np(u[..., c]) for c in range(u.shape[-1])], axis=-1
+    )
+
+
+def _prolong_block_np(uc, fine_spatial):
+    return np.stack(
+        [
+            _prolong_np(uc[..., c], fine_spatial)
+            for c in range(uc.shape[-1])
+        ],
+        axis=-1,
+    )
+
+
+def _coarsen_block_stencil(W, offsets, shape, d):
+    """Galerkin coarse BLOCK stencil via per-component comb probing."""
+    dim = len(shape)
+    shape_c = tuple((s - 1) // 2 + 1 for s in shape)
+    pad_f = int(max(abs(o) for off in offsets for o in off))
+    pad_c = -(-(pad_f + 2) // 2)
+    s = 2 * pad_c + 1
+
+    resp = {}
+    for phase in itertools.product(range(s), repeat=dim):
+        for b in range(d):
+            e = np.zeros(shape_c + (d,))
+            e[tuple(slice(p, None, s) for p in phase) + (b,)] = 1.0
+            resp[phase + (b,)] = _restrict_block_np(
+                _apply_block_np(W, offsets, _prolong_block_np(e, shape))
+            )
+
+    offs_c = list(itertools.product(range(-pad_c, pad_c + 1), repeat=dim))
+    grids = np.meshgrid(*[np.arange(n) for n in shape_c], indexing="ij")
+    Wc = np.zeros((len(offs_c),) + shape_c + (d, d))
+    for k, off in enumerate(offs_c):
+        col = [g + o for g, o in zip(grids, off)]
+        valid = np.ones(shape_c, dtype=bool)
+        for c, n in zip(col, shape_c):
+            valid &= (c >= 0) & (c < n)
+        phases = [np.mod(c, s) for c in col]
+        for phase in itertools.product(range(s), repeat=dim):
+            m = valid.copy()
+            for p, ph in zip(phases, phase):
+                m &= p == ph
+            if not m.any():
+                continue
+            for b in range(d):
+                r = resp[phase + (b,)]
+                Wc[k][m, :, b] = r[tuple(g[m] for g in grids)]
+    keep = [k for k in range(len(offs_c)) if np.abs(Wc[k]).max() > 0]
+    return Wc[keep], [offs_c[k] for k in keep], shape_c
+
+
+def _block_inv_np(D):
+    """Per-point inverse of (..., d, d) blocks."""
+    d = D.shape[-1]
+    if d == 2:
+        a, b = D[..., 0, 0], D[..., 0, 1]
+        c, e = D[..., 1, 0], D[..., 1, 1]
+        det = a * e - b * c
+        det = np.where(np.abs(det) > 1e-300, det, 1.0)
+        inv = np.empty_like(D)
+        inv[..., 0, 0] = e / det
+        inv[..., 0, 1] = -b / det
+        inv[..., 1, 0] = -c / det
+        inv[..., 1, 1] = a / det
+        return inv
+    return np.linalg.pinv(D)
+
+
+@dataclass
+class BlockGMGLevel:
+    W: jnp.ndarray  # (K, ..., d, d)
+    offsets: tuple
+    pad: int
+    shape: Tuple[int, ...]  # spatial
+    d: int
+    diag_inv: jnp.ndarray  # (..., d, d) block inverse
+    omega: float
+
+
+def _device_apply_block(lv: BlockGMGLevel, u: jnp.ndarray) -> jnp.ndarray:
+    up = jnp.pad(u, [(lv.pad, lv.pad)] * len(lv.shape) + [(0, 0)])
+    out = jnp.zeros_like(u)
+    for k, off in enumerate(lv.offsets):
+        start = tuple(lv.pad + o for o in off) + (0,)
+        tap = jax.lax.dynamic_slice(up, start, lv.shape + (lv.d,))
+        out = out + jnp.einsum("...ab,...b->...a", lv.W[k], tap)
+    return out
+
+
+def _device_restrict_block(u: jnp.ndarray) -> jnp.ndarray:
+    return jnp.stack(
+        [_device_restrict(u[..., c]) for c in range(u.shape[-1])], axis=-1
+    )
+
+
+def _device_prolong_block(uc: jnp.ndarray, fine_spatial) -> jnp.ndarray:
+    return jnp.stack(
+        [
+            _device_prolong(uc[..., c], fine_spatial)
+            for c in range(uc.shape[-1])
+        ],
+        axis=-1,
+    )
+
+
+@dataclass
+class BlockLatticeGMG:
+    levels: List[BlockGMGLevel]
+    coarse_inv: jnp.ndarray
+    coarse_shape: Tuple[int, ...]
+    d: int
+
+    def precond(self) -> Callable:
+        def vcycle(i: int, r: jnp.ndarray) -> jnp.ndarray:
+            if i == len(self.levels):
+                flat = self.coarse_inv @ r.reshape(-1)
+                return flat.reshape(self.coarse_shape + (self.d,))
+            lv = self.levels[i]
+            smooth = lambda rr: lv.omega * jnp.einsum(
+                "...ab,...b->...a", lv.diag_inv, rr
+            )
+            x = smooth(r)
+            res = r - _device_apply_block(lv, x)
+            xc = vcycle(i + 1, _device_restrict_block(res))
+            x = x + _device_prolong_block(xc, lv.shape)
+            x = x + smooth(r - _device_apply_block(lv, x))
+            return x
+
+        return lambda r: vcycle(0, r)
+
+
+def _block_level_from_np(W, offsets, shape, d, dtype) -> BlockGMGLevel:
+    pad = int(max(abs(o) for off in offsets for o in off))
+    D = None
+    for k, off in enumerate(offsets):
+        if all(o == 0 for o in off):
+            D = W[k]
+    Dinv = _block_inv_np(D)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(shape + (d,))
+    lam = 1.0
+    for _ in range(8):
+        x = np.einsum(
+            "...ab,...b->...a", Dinv, _apply_block_np(W, offsets, x)
+        )
+        nrm = np.linalg.norm(x)
+        if nrm == 0:
+            break
+        lam = nrm
+        x /= nrm
+    return BlockGMGLevel(
+        W=jnp.asarray(W).astype(dtype),
+        offsets=tuple(tuple(o) for o in offsets),
+        pad=pad,
+        shape=shape,
+        d=d,
+        diag_inv=jnp.asarray(Dinv).astype(dtype),
+        omega=float(0.9 / max(lam, 1e-12)),
+    )
+
+
+def setup_block_gmg(
+    W: np.ndarray,
+    offsets,
+    shape: Tuple[int, ...],
+    d: int,
+    dtype=jnp.float32,
+    coarse_size: int = 800,
+    max_levels: int = 10,
+) -> BlockLatticeGMG:
+    """Block-stencil GMG for vector lattice operators (elasticity)."""
+    levels: List[BlockGMGLevel] = []
+    W_cur = np.asarray(W, dtype=np.float64)
+    offs_cur = list(map(tuple, offsets))
+    shape_cur = tuple(shape)
+    while (
+        int(np.prod(shape_cur)) * d > coarse_size
+        and len(levels) < max_levels
+        and all((s - 1) % 2 == 0 and s >= 5 for s in shape_cur)
+    ):
+        levels.append(
+            _block_level_from_np(W_cur, offs_cur, shape_cur, d, dtype)
+        )
+        W_cur, offs_cur, shape_cur = _coarsen_block_stencil(
+            W_cur, offs_cur, shape_cur, d
+        )
+    n = int(np.prod(shape_cur)) * d
+    A = np.zeros((n, n))
+    for j in range(n):
+        e = np.zeros(shape_cur + (d,))
+        e.reshape(-1)[j] = 1.0
+        A[:, j] = _apply_block_np(W_cur, offs_cur, e).reshape(-1)
+    coarse_inv = jnp.asarray(np.linalg.pinv(A)).astype(dtype)
+    return BlockLatticeGMG(
+        levels=levels,
+        coarse_inv=coarse_inv,
+        coarse_shape=shape_cur,
+        d=d,
+    )
+
+
+def attach_lattice_gmg(lat32, A_scipy, mask_np) -> None:
+    """Build and attach a GMG hierarchy (scalar or block) to a lattice
+    operator from the CONSTRAINED matrix."""
+    from .amg import constrained_csr
+    from .stencil import BlockLatticeOperator, LatticeOperator
+
+    A_bc = constrained_csr(A_scipy, mask_np)
+    d = getattr(lat32, "ncomp", 1)
+    if d > 1:
+        lat_bc = BlockLatticeOperator(
+            A_bc, lat32.lattice, d, dtype=jnp.float32
+        )
+        lat32.gmg = setup_block_gmg(
+            np.asarray(lat_bc.W, dtype=np.float64),
+            lat_bc.offsets,
+            lat_bc.shape,
+            d,
+            dtype=jnp.float32,
+        )
+    else:
+        lat_bc = LatticeOperator(A_bc, lat32.lattice, dtype=jnp.float32)
+        lat32.gmg = setup_gmg(
+            np.asarray(lat_bc.W, dtype=np.float64),
+            lat_bc.offsets,
+            lat_bc.shape,
+            dtype=jnp.float32,
+        )
+
+
 def setup_gmg(
     W: np.ndarray,
     offsets,

@@ -102,6 +102,7 @@ class LatticeOperator:
         self.perm_j = jnp.asarray(lattice.perm, dtype=jnp.int32)
         self.inv_j = jnp.asarray(lattice.inv, dtype=jnp.int32)
         self.shape = shape
+        self.grid_shape = shape
 
     def astype(self, dtype) -> "LatticeOperator":
         import copy
@@ -127,6 +128,120 @@ class LatticeOperator:
         u_lat = u_flat[self.perm_j].reshape(self.shape).astype(self.W.dtype)
         y = self.apply_grid(u_lat).reshape(-1)
         return y[self.inv_j].astype(u_flat.dtype)
+
+
+class BlockLatticeOperator:
+    """Stencil form of a blocked-interleaved VECTOR lattice matrix.
+
+    Dof (node, component a) sits at node*ncomp + a. The operator is a
+    block stencil W[K, ..., a, b]: out[..., a] = sum_k sum_b
+    W[k, ..., a, b] * shift(u[..., b], off_k) — the vector analog of
+    LatticeOperator, still entirely gather-free (elasticity on
+    structured meshes).
+    """
+
+    def __init__(
+        self, A: sps.spmatrix, lattice: Lattice, ncomp: int,
+        dtype=jnp.float64,
+    ):
+        self.lattice = lattice
+        self.ncomp = int(ncomp)
+        shape = lattice.shape
+        dim = len(shape)
+        d = self.ncomp
+        n_nodes = int(np.prod(shape))
+
+        coo = A.tocoo()
+        node_r, comp_r = coo.row // d, coo.row % d
+        node_c, comp_c = coo.col // d, coo.col % d
+        # lattice positions of the nodes
+        lr = lattice.inv[node_r]
+        lc = lattice.inv[node_c]
+
+        def unflatten(f):
+            out = []
+            rem = f
+            for s in reversed(shape):
+                out.append(rem % s)
+                rem = rem // s
+            return np.stack(list(reversed(out)), axis=1)
+
+        rc = unflatten(lr)
+        cc = unflatten(lc)
+        doff = cc - rc
+        offs, o_idx = np.unique(doff, axis=0, return_inverse=True)
+        self.offsets = [tuple(int(v) for v in o) for o in offs]
+        self.pad = int(np.abs(offs).max()) if len(offs) else 0
+        W = np.zeros((len(offs),) + shape + (d, d))
+        np.add.at(
+            W,
+            (o_idx,) + tuple(rc[:, k] for k in range(dim)) + (comp_r, comp_c),
+            coo.data,
+        )
+        self.W = jnp.asarray(W).astype(dtype)
+        self.shape = shape
+        self.dtype = dtype
+        # dof -> (lattice-major, component-minor) permutation
+        # flat lattice-dof index = lattice_pos * d + comp
+        n = A.shape[0]
+        dof_nodes = np.arange(n) // d
+        dof_comp = np.arange(n) % d
+        lat_pos = lattice.inv[dof_nodes]
+        lat_flat = lat_pos * d + dof_comp
+        perm = np.argsort(lat_flat)
+        inv = np.empty(n, dtype=np.int64)
+        inv[perm] = np.arange(n)
+        self.perm_j = jnp.asarray(perm, dtype=jnp.int32)
+        self.inv_j = jnp.asarray(inv, dtype=jnp.int32)
+        self.grid_shape = shape + (d,)
+
+    def astype(self, dtype) -> "BlockLatticeOperator":
+        import copy
+
+        out = copy.copy(self)
+        out.W = self.W.astype(dtype)
+        out.dtype = dtype
+        return out
+
+    def apply_grid(self, u: jnp.ndarray) -> jnp.ndarray:
+        """u: (..., d) lattice-shaped; returns same shape."""
+        pad_widths = [(self.pad, self.pad)] * len(self.shape) + [(0, 0)]
+        up = jnp.pad(u, pad_widths)
+        out = jnp.zeros_like(u)
+        for k, off in enumerate(self.offsets):
+            start = tuple(self.pad + o for o in off) + (0,)
+            tap = jax.lax.dynamic_slice(
+                up, start, self.shape + (self.ncomp,)
+            )
+            out = out + jnp.einsum("...ab,...b->...a", self.W[k], tap)
+        return out
+
+    def __call__(self, u_flat: jnp.ndarray) -> jnp.ndarray:
+        d = self.ncomp
+        u_lat = (
+            u_flat[self.perm_j]
+            .reshape(self.shape + (d,))
+            .astype(self.W.dtype)
+        )
+        y = self.apply_grid(u_lat).reshape(-1)
+        return y[self.inv_j].astype(u_flat.dtype)
+
+
+def block_lattice_operator_from_local(
+    A_local, dofmap, ndof: int, scalar_dof_coords: np.ndarray, ncomp: int,
+    dtype=jnp.float64,
+) -> Optional[BlockLatticeOperator]:
+    """BlockLatticeOperator from blocked cell-local matrices, or None."""
+    lat = detect_lattice(scalar_dof_coords)
+    if lat is None:
+        return None
+    nl = np.asarray(A_local).shape[1]
+    dm = np.asarray(dofmap, dtype=np.int64)
+    rows = np.repeat(dm, nl, axis=1).reshape(-1)
+    cols = np.tile(dm, (1, nl)).reshape(-1)
+    vals = np.asarray(A_local).reshape(-1)
+    A = sps.coo_matrix((vals, (rows, cols)), shape=(ndof, ndof)).tocsr()
+    return BlockLatticeOperator(A, lat, ncomp, dtype=dtype)
 
 
 def lattice_operator_from_local(
