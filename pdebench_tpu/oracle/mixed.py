@@ -231,6 +231,77 @@ def saddle_amg_precond(
     return M
 
 
+def saddle_gmg_precond(
+    V: FunctionSpace,
+    nu_visc: float,
+    cb: CellBatch,
+    psi: jnp.ndarray,
+    dofmap_p: jnp.ndarray,
+    np_dofs: int,
+    mask: jnp.ndarray,
+) -> Optional[Callable]:
+    """Stencil-GMG block preconditioner for structured-mesh Stokes.
+
+    The velocity block is nu x blockdiag(scalar stiffness), so one
+    scalar GMG hierarchy (on the constrained scalar stiffness stencil)
+    preconditions every component — an entirely gather-free V-cycle.
+    Returns None when the dofs don't form a lattice.
+    """
+    from ..fem.assemble import LocalOperator, local_stiffness
+    from ..solvers.amg import constrained_csr
+    from ..solvers.gmg import setup_gmg
+    from ..solvers.stencil import LatticeOperator, detect_lattice
+
+    lat = detect_lattice(V.dof_coords)
+    if lat is None or len(lat.shape) != 2:
+        return None
+    d = V.ncomp
+    nu_dofs = V.ndof
+    mask_np = np.asarray(mask)
+    # scalar mask: a node is constrained if any component is
+    mask_u = mask_np[:nu_dofs].reshape(-1, d).any(axis=1)
+    Ks = local_stiffness(cb) * nu_visc
+    A_s = LocalOperator(
+        np.asarray(Ks), V.dofmap_scalar, V.n_scalar_dofs
+    ).to_scipy()
+    A_bc = constrained_csr(A_s, mask_u)
+    lat_bc = LatticeOperator(A_bc, lat, dtype=jnp.float32)
+    gmg = setup_gmg(
+        np.asarray(lat_bc.W, dtype=np.float64),
+        lat_bc.offsets,
+        lat_bc.shape,
+        dtype=jnp.float32,
+    )
+    vcyc = gmg.precond()
+    perm = lat_bc.perm_j
+    inv = lat_bc.inv_j
+    shape = lat_bc.shape
+
+    Mp = jnp.einsum("qi,qj,cq->cij", psi, psi, cb.wdetJ)
+    dMp = scatter_add(jnp.einsum("cii->ci", Mp), dofmap_p, np_dofs)
+    dMp = dMp / max(nu_visc, 1e-300)
+    mask_p = jnp.asarray(mask_np[nu_dofs:])
+    dMp = jnp.where(mask_p, 1.0, dMp)
+    inv_p = (1.0 / jnp.where(jnp.abs(dMp) > 1e-300, dMp, 1.0)).astype(
+        jnp.float64
+    )
+    mask_full = jnp.asarray(mask_np)
+
+    def M(r):
+        ru = r[:nu_dofs].reshape(-1, d)
+        comps = []
+        for c in range(d):
+            rc32 = ru[:, c].astype(jnp.float32)[perm]
+            zc = vcyc(rc32.reshape(shape)).reshape(-1)[inv]
+            comps.append(zc.astype(r.dtype))
+        zu = jnp.stack(comps, axis=1).reshape(-1)
+        out = jnp.concatenate([zu, inv_p * r[nu_dofs:]])
+        # keep the preconditioner SPD w.r.t. constrained entries
+        return jnp.where(mask_full, r, out)
+
+    return M
+
+
 def saddle_to_scipy(
     A_loc: np.ndarray,
     G_loc: np.ndarray,

@@ -85,15 +85,25 @@ class StokesSolver:
         jitted_minres = None
         if not use_direct:
             A_pre = local_vector_laplacian(cb, nu)
-            precond = (
-                mixed.saddle_amg_precond
-                if ctx.N >= 20000
-                else mixed.saddle_diag_precond
-            )
-            M = precond(
-                A_pre, cb, ctx.psi, dofmap_u, dofmap_p,
-                V.ndof, Q.ndof, nu, ctx.mask,
-            )
+            M = None
+            try:
+                # structured meshes: gather-free stencil-GMG on the
+                # velocity block (one scalar hierarchy per component)
+                M = mixed.saddle_gmg_precond(
+                    V, nu, cb, ctx.psi, dofmap_p, Q.ndof, ctx.mask
+                )
+            except Exception:
+                M = None
+            if M is None:
+                precond = (
+                    mixed.saddle_amg_precond
+                    if ctx.N >= 20000
+                    else mixed.saddle_diag_precond
+                )
+                M = precond(
+                    A_pre, cb, ctx.psi, dofmap_u, dofmap_p,
+                    V.ndof, Q.ndof, nu, ctx.mask,
+                )
 
             import jax as _jax
 
