@@ -274,9 +274,16 @@ def solve_linear(
         if key not in cache:
             dofmap_c = op.dofmap
             # attach a stencil-GMG V-cycle (scalar or block): the whole
-            # preconditioner is shifted multiply-adds
+            # preconditioner is shifted multiply-adds. Nonsymmetric /
+            # indefinite systems use the hierarchy of the SPD surrogate
+            # in opts['_amg_matrix'] (e.g. Helmholtz's shifted Laplacian)
+            gmg_src = (
+                op.to_scipy()
+                if inner == "cg"
+                else opts.get("_amg_matrix")
+            )
             if (
-                inner == "cg"
+                gmg_src is not None
                 and len(lat32.shape) in (2, 3)
                 and op.ndof >= 5000  # setup cost beats jacobi only at size
                 and getattr(lat32, "gmg", None) is None
@@ -284,9 +291,7 @@ def solve_linear(
                 try:
                     from .gmg import attach_lattice_gmg
 
-                    attach_lattice_gmg(
-                        lat32, op.to_scipy(), np.asarray(mask)
-                    )
+                    attach_lattice_gmg(lat32, gmg_src, np.asarray(mask))
                 except Exception:
                     lat32.gmg = None
             has_gmg = getattr(lat32, "gmg", None) is not None
@@ -295,7 +300,7 @@ def solve_linear(
             if inner == "cg":
                 n_inner = 25 if has_gmg else 100
             else:
-                n_inner = 60
+                n_inner = 30 if has_gmg else 60
 
             def _solve_stencil(A_local, A32_local, b_in, mask_in, g_in):
                 return solve_constrained_ir(
@@ -311,7 +316,11 @@ def solve_linear(
         if bool(conv):
             info.update(
                 method=inner,
-                pc_used="jacobi+stencil-ir32",
+                pc_used=(
+                    "gmg+stencil-ir32"
+                    if getattr(lat32, "gmg", None) is not None
+                    else "jacobi+stencil-ir32"
+                ),
                 iterations=int(iters),
                 residual=float(res),
             )
