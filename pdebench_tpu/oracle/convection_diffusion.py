@@ -149,9 +149,19 @@ class ConvectionDiffusionSolver:
             ndof, mask = space.ndof, ctx.mask
             ts = t0 + dt * jnp.arange(1, num_steps + 1)
 
-            lattice32 = scalar.maybe_lattice32(
-                ctx, local_mass(cb) + dt * assemble_A()
-            ) if _MIXED else None
+            lattice32 = None
+            if _MIXED:
+                # the transient system matrix M + dt A is constant:
+                # stencil + GMG apply (GMG hierarchy built on the
+                # SPD-dominant constrained matrix works as a left
+                # preconditioner for the nonsymmetric inner GMRES)
+                A_sys_pre = local_mass(cb) + dt * assemble_A()
+                lattice32 = scalar.attach_gmg(
+                    scalar.maybe_lattice32(ctx, A_sys_pre),
+                    A_sys_pre,
+                    space,
+                    np.asarray(mask),
+                )
 
             @jax.jit
             def run_scan(A_sys, M, u0_arr):

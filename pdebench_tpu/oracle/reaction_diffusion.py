@@ -120,6 +120,23 @@ class ReactionDiffusionSolver:
         phi = cb.phi  # (nq, nl)
         ts = t0 + dt * jnp.arange(1, num_steps + 1)
 
+        lattice32 = None
+        if _MIXED and not nonlinear:
+            # linear reaction: the step matrix (1 + dt a) M + dt eps K
+            # is constant — stencil + GMG path
+            rp0 = float(sp.diff(R_sym, _U))
+            A_pre = (
+                (1.0 / dt) * local_mass(cb)
+                + epsilon * local_stiffness(cb)
+                + rp0 * local_mass(cb)
+            )
+            lattice32 = scalar.attach_gmg(
+                scalar.maybe_lattice32(ctx, A_pre),
+                A_pre,
+                space,
+                np.asarray(mask),
+            )
+
         # u at quadrature points: (c, nq) = phi (nq, nl) . u[dofmap] (c, nl)
         def u_at_q(u):
             return jnp.einsum("qi,ci->cq", phi, u[dofmap])
@@ -154,6 +171,7 @@ class ReactionDiffusionSolver:
                         x, it, res, conv = solve_constrained_ir(
                             A, A.astype(jnp.float32), dofmap, b, mask, g,
                             ndof, ksp_rtol, newton_atol,
+                            lattice32=lattice32,
                         )
                     else:
                         x, it, res, conv = solve_constrained(
