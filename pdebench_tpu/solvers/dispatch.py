@@ -274,14 +274,15 @@ def solve_linear(
         if key not in cache:
             dofmap_c = op.dofmap
             # attach a stencil-GMG V-cycle (scalar or block): the whole
-            # preconditioner is shifted multiply-adds. Nonsymmetric /
-            # indefinite systems use the hierarchy of the SPD surrogate
-            # in opts['_amg_matrix'] (e.g. Helmholtz's shifted Laplacian)
-            gmg_src = (
-                op.to_scipy()
-                if inner == "cg"
-                else opts.get("_amg_matrix")
-            )
+            # preconditioner is shifted multiply-adds. Indefinite
+            # systems use the SPD surrogate in opts['_amg_matrix']
+            # (Helmholtz's shifted Laplacian); other nonsymmetric
+            # systems (advection-diffusion) coarsen their own operator —
+            # Galerkin probing is sign-agnostic and FGMRES tolerates an
+            # imperfect V-cycle
+            gmg_src = opts.get("_amg_matrix")
+            if gmg_src is None:
+                gmg_src = op.to_scipy()
             if (
                 gmg_src is not None
                 and len(lat32.shape) in (2, 3)
