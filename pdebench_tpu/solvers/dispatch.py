@@ -105,6 +105,7 @@ def solve_constrained_ir(
     max_outer: int = 60,
     lattice32=None,
     inner: str = "cg",
+    M32_custom=None,
 ):
     """Traceable mixed-precision constrained solve (SPD systems).
 
@@ -160,12 +161,16 @@ def solve_constrained_ir(
 
     raw32 = lambda v: _apply_local(A32_local, dofmap, ndof, v)
     A32 = constrained_operator(raw32, mask)
-    diag = scatter_add(
-        jnp.einsum("cii->ci", A32_local), dofmap, ndof
-    )
-    M32 = jacobi_preconditioner(
-        constrained_diag(diag, mask).astype(jnp.float32)
-    )
+    if M32_custom is not None:
+        # e.g. an f32 AMG V-cycle built once outside a time-stepping scan
+        M32 = M32_custom
+    else:
+        diag = scatter_add(
+            jnp.einsum("cii->ci", A32_local), dofmap, ndof
+        )
+        M32 = jacobi_preconditioner(
+            constrained_diag(diag, mask).astype(jnp.float32)
+        )
     x, info = refined_solve(
         A64,
         A32,
