@@ -84,7 +84,15 @@ class WaveSolver:
 
         use_ir = _MIXED and method == "cg"
         M32_amg = None
-        if use_ir and ndof >= 20000:
+        import jax as _jax
+
+        if (
+            use_ir
+            and ndof >= 20000
+            # the COO V-cycle is gather-bound on TPU where plain jacobi
+            # bursts win; on CPU the AMG iteration count dominates
+            and _jax.devices()[0].platform not in ("tpu", "axon")
+        ):
             # unstructured meshes: pre-build (untimed) an f32 AMG
             # V-cycle on the constant step matrix for the scan's inner
             # iterations
