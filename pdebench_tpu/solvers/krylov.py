@@ -56,7 +56,7 @@ def cg(
     p0 = z0
     rz0 = jnp.vdot(r0, z0)
     # divergence guard: a bad preconditioner must not burn maxiter
-    blowup = 1e6 * (jnp.linalg.norm(r0) + jnp.linalg.norm(b)) + 1e300 * 0.0
+    blowup = 1e6 * (jnp.linalg.norm(r0) + jnp.linalg.norm(b))
 
     def cond(state):
         x, r, z, p, rz, k = state

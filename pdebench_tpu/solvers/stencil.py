@@ -149,7 +149,6 @@ class BlockLatticeOperator:
         shape = lattice.shape
         dim = len(shape)
         d = self.ncomp
-        n_nodes = int(np.prod(shape))
 
         coo = A.tocoo()
         node_r, comp_r = coo.row // d, coo.row % d
