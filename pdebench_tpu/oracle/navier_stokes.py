@@ -22,6 +22,9 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Tuple
 
+import os
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 import sympy as sp
@@ -142,6 +145,51 @@ class NavierStokesSolver:
 
         nu_cur = [nu]  # mutable closure cell for the continuation rung
 
+        # device path for the Newton linear systems: FGMRES-IR on the
+        # saddle Jacobian with the (fixed) Stokes block preconditioner —
+        # f32 inner Arnoldi at native v5e speed; falls back to host LU
+        # when unavailable or unconverged
+        device_lin = None
+        # measured on both CPU and TPU v5e: host SuperLU per Newton step
+        # beats the iterative saddle solve at benchmark sizes (the GMG
+        # velocity V-cycle is launch-bound inside the 60-dim Arnoldi);
+        # the device path is kept behind an explicit opt-in for larger
+        # problems where factorization cost dominates
+        if os.environ.get("PDEBENCH_TPU_NS_DEVICE_NEWTON", "0") == "1":
+            try:
+                M_block = mixed.saddle_gmg_precond(
+                    V, nu, cb, ctx.psi, dofmap_p, Q.ndof, ctx.mask
+                )
+            except Exception:
+                M_block = None
+            if M_block is not None:
+                from ..fem.assemble import (
+                    constrained_operator as _con_op,
+                )
+                from ..solvers.krylov import refined_solve
+
+                G32 = G_loc.astype(jnp.float32)
+                mask_j = ctx.mask
+
+                @jax.jit
+                def device_lin(Ju, rhs):
+                    apply64 = mixed.saddle_apply(
+                        Ju, G_loc, dofmap_u, dofmap_p, V.ndof, Q.ndof
+                    )
+                    apply32 = mixed.saddle_apply(
+                        Ju.astype(jnp.float32), G32,
+                        dofmap_u, dofmap_p, V.ndof, Q.ndof,
+                    )
+                    A64 = _con_op(apply64, mask_j)
+                    A32 = _con_op(apply32, mask_j)
+                    M32 = lambda r: M_block(r).astype(jnp.float32)
+                    d, info = refined_solve(
+                        A64, A32, rhs, M32=M32,
+                        rtol=1e-8, atol=1e-12,
+                        inner_iters=60, max_outer=20, inner="gmres",
+                    )
+                    return d, info.converged
+
         def newton(x0, rtol, atol, max_it):
             x = np.asarray(x0)
             x[mask_np] = g_np[mask_np]
@@ -154,12 +202,18 @@ class NavierStokesSolver:
                 if rn <= tol:
                     break
                 Ju = jacobian_u_block(jnp.asarray(x))
-                K = mixed.saddle_to_scipy(
-                    Ju, G_loc, V.dofmap, Q.dofmap_scalar, V.ndof, Q.ndof
-                )
-                delta = directmod.solve_direct_constrained(
-                    K, -r, mask_np, np.zeros(ctx.N)
-                )
+                delta = None
+                if device_lin is not None:
+                    d_dev, conv = device_lin(Ju, jnp.asarray(-r))
+                    if bool(conv):
+                        delta = np.asarray(d_dev)
+                if delta is None:
+                    K = mixed.saddle_to_scipy(
+                        Ju, G_loc, V.dofmap, Q.dofmap_scalar, V.ndof, Q.ndof
+                    )
+                    delta = directmod.solve_direct_constrained(
+                        K, -r, mask_np, np.zeros(ctx.N)
+                    )
                 total_lin += 1
                 # backtracking line search ('bt')
                 t = 1.0
