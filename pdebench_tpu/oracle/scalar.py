@@ -149,23 +149,16 @@ def maybe_lattice32(ctx: ScalarContext, A_local) -> Optional[object]:
 
 
 def attach_gmg(lat32, A_local, space, mask_np) -> object:
-    """Attach a stencil-GMG hierarchy (built on the CONSTRAINED matrix)
-    to a lattice operator; no-op otherwise."""
+    """Attach a stencil-GMG hierarchy (constrained weights derived
+    directly from the operator's stencil) to a lattice operator; no-op
+    otherwise. A_local is unused (kept for API stability)."""
+    del A_local
     if lat32 is None or len(lat32.shape) not in (2, 3) or space.ndof < 5000:
         return lat32
     try:
-        from ..fem.assemble import LocalOperator
         from ..solvers.gmg import attach_lattice_gmg
 
-        dofmap = (
-            space.dofmap
-            if getattr(lat32, "ncomp", 1) > 1
-            else space.dofmap_scalar
-        )
-        A = LocalOperator(
-            np.asarray(A_local), dofmap, space.ndof
-        ).to_scipy()
-        attach_lattice_gmg(lat32, A, mask_np)
+        attach_lattice_gmg(lat32, np.asarray(mask_np))
     except Exception:
         lat32.gmg = None
     return lat32

@@ -281,23 +281,23 @@ def solve_linear(
             # attach a stencil-GMG V-cycle (scalar or block): the whole
             # preconditioner is shifted multiply-adds. Indefinite
             # systems use the SPD surrogate in opts['_amg_matrix']
-            # (Helmholtz's shifted Laplacian); other nonsymmetric
-            # systems (advection-diffusion) coarsen their own operator —
+            # (Helmholtz's shifted Laplacian); other systems coarsen
+            # their own operator directly from the stencil weights —
             # Galerkin probing is sign-agnostic and FGMRES tolerates an
             # imperfect V-cycle
-            gmg_src = opts.get("_amg_matrix")
-            if gmg_src is None:
-                gmg_src = op.to_scipy()
             if (
-                gmg_src is not None
-                and len(lat32.shape) in (2, 3)
+                len(lat32.shape) in (2, 3)
                 and op.ndof >= 5000  # setup cost beats jacobi only at size
                 and getattr(lat32, "gmg", None) is None
             ):
                 try:
                     from .gmg import attach_lattice_gmg
 
-                    attach_lattice_gmg(lat32, gmg_src, np.asarray(mask))
+                    attach_lattice_gmg(
+                        lat32,
+                        np.asarray(mask),
+                        A_override=opts.get("_amg_matrix"),
+                    )
                 except Exception:
                     lat32.gmg = None
             has_gmg = getattr(lat32, "gmg", None) is not None

@@ -467,33 +467,59 @@ def setup_block_gmg(
     )
 
 
-def attach_lattice_gmg(lat32, A_scipy, mask_np) -> None:
+def attach_lattice_gmg(lat32, mask_np, A_override=None) -> None:
     """Build and attach a GMG hierarchy (scalar or block) to a lattice
-    operator from the CONSTRAINED matrix."""
-    from .amg import constrained_csr
-    from .stencil import BlockLatticeOperator, LatticeOperator
+    operator, from the CONSTRAINED weights.
 
-    A_bc = constrained_csr(A_scipy, mask_np)
+    Default path derives the constrained stencil directly from the
+    operator's own weights (no CSR round trip — that cost minutes at
+    5e5 dofs). A_override provides a DIFFERENT matrix to coarsen (e.g.
+    Helmholtz's shifted Laplacian), taking the CSR route.
+    """
+    from .amg import constrained_csr
+    from .stencil import (
+        BlockLatticeOperator,
+        LatticeOperator,
+        constrain_stencil_weights,
+    )
+
     d = getattr(lat32, "ncomp", 1)
-    if d > 1:
-        lat_bc = BlockLatticeOperator(
-            A_bc, lat32.lattice, d, dtype=jnp.float32
-        )
-        lat32.gmg = setup_block_gmg(
+    mask_np = np.asarray(mask_np, dtype=bool)
+    if A_override is not None:
+        A_bc = constrained_csr(A_override, mask_np)
+        if d > 1:
+            lat_bc = BlockLatticeOperator(
+                A_bc, lat32.lattice, d, dtype=jnp.float32
+            )
+        else:
+            lat_bc = LatticeOperator(A_bc, lat32.lattice, dtype=jnp.float32)
+        W_bc, offs, shape = (
             np.asarray(lat_bc.W, dtype=np.float64),
             lat_bc.offsets,
             lat_bc.shape,
-            d,
-            dtype=jnp.float32,
         )
     else:
-        lat_bc = LatticeOperator(A_bc, lat32.lattice, dtype=jnp.float32)
-        lat32.gmg = setup_gmg(
-            np.asarray(lat_bc.W, dtype=np.float64),
-            lat_bc.offsets,
-            lat_bc.shape,
-            dtype=jnp.float32,
+        # node-level mask in lattice order (benchmark BCs constrain
+        # whole nodes; partial constraints fall back to a plain mask-any)
+        if d > 1:
+            node_mask = mask_np.reshape(-1, d).any(axis=1)
+        else:
+            node_mask = mask_np
+        mask_lat = node_mask[lat32.lattice.perm].reshape(lat32.shape)
+        W_bc = constrain_stencil_weights(
+            np.asarray(lat32.W, dtype=np.float64),
+            lat32.offsets,
+            mask_lat,
+            d=d,
         )
+        offs, shape = lat32.offsets, lat32.shape
+
+    if d > 1:
+        lat32.gmg = setup_block_gmg(
+            W_bc, offs, shape, d, dtype=jnp.float32
+        )
+    else:
+        lat32.gmg = setup_gmg(W_bc, offs, shape, dtype=jnp.float32)
 
 
 def setup_gmg(
