@@ -299,7 +299,10 @@ def block_lattice_operator_from_local(
     cols = np.tile(dm, (1, nl)).reshape(-1)
     vals = np.asarray(A_local).reshape(-1)
     A = sps.coo_matrix((vals, (rows, cols)), shape=(ndof, ndof)).tocsr()
-    return BlockLatticeOperator(A, lat, ncomp, dtype=dtype)
+    op = BlockLatticeOperator(A, lat, ncomp, dtype=dtype)
+    if op.pad > 8:  # wrap-around offsets (periodic meshes)
+        return None
+    return op
 
 
 def lattice_operator_from_local(
@@ -319,4 +322,9 @@ def lattice_operator_from_local(
     cols = np.tile(dm, (1, nl)).reshape(-1)
     vals = np.asarray(A_local).reshape(-1)
     A = sps.coo_matrix((vals, (rows, cols)), shape=(ndof, ndof)).tocsr()
-    return LatticeOperator(A, lat, dtype=dtype)
+    op = LatticeOperator(A, lat, dtype=dtype)
+    # periodic identifications create wrap-around offsets (pad ~ n);
+    # the stencil/GMG machinery assumes compact stencils
+    if op.pad > 8:
+        return None
+    return op
