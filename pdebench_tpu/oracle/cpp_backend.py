@@ -9,9 +9,13 @@ cached by mtime), runs it under the contract
 solution_grid.bin + meta.json. Accuracy baselines are computed host-side
 against the analytic exact grid exactly like the jax backend.
 
-Currently covered: poisson / helmholtz / heat / darcy (elliptic) on
-unit_square and unit_cube with P1 elements — the native demonstration
-path; the jax backend remains the primary oracle.
+Covered (same families as the reference's nine deal.II programs,
+dealii_oracle/programs/*.cc): poisson / helmholtz / heat / darcy
+(elliptic) / convection_diffusion / wave / reaction_diffusion (linear)
+via `scalar_solver` (P1), and biharmonic / linear_elasticity / stokes /
+navier_stokes via `system_solver` (generic-degree Lagrange, Taylor-Hood
+saddle points) on unit_square and unit_cube; the jax backend remains
+the primary oracle.
 """
 
 from __future__ import annotations
@@ -32,9 +36,8 @@ from . import scalar
 from .types import OracleResult, compute_rel_L2_grid
 
 _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
-_BINARY = _NATIVE_DIR / "build" / "scalar_solver"
 
-_SUPPORTED_PDES = (
+_SCALAR_PDES = (
     "poisson",
     "helmholtz",
     "heat",
@@ -43,20 +46,33 @@ _SUPPORTED_PDES = (
     "wave",
     "reaction_diffusion",
 )
+_SYSTEM_PDES = (
+    "biharmonic",
+    "linear_elasticity",
+    "stokes",
+    "navier_stokes",
+)
+_SUPPORTED_PDES = _SCALAR_PDES + _SYSTEM_PDES
 _SUPPORTED_DOMAINS = ("unit_square", "unit_cube")
 
 
-def ensure_built() -> Path:
-    """Build (or reuse) the native binary; mtime-cached via make."""
+def _binary_for(pde_type: str) -> Path:
+    name = "system_solver" if pde_type in _SYSTEM_PDES else "scalar_solver"
+    return _NATIVE_DIR / "build" / name
+
+
+def ensure_built(pde_type: str = "poisson") -> Path:
+    """Build (or reuse) the native binaries; mtime-cached via make."""
+    binary = _binary_for(pde_type)
     proc = subprocess.run(
         ["make", "-C", str(_NATIVE_DIR), "-s"],
         capture_output=True,
         text=True,
         timeout=600,
     )
-    if proc.returncode != 0 or not _BINARY.exists():
+    if proc.returncode != 0 or not binary.exists():
         raise RuntimeError(f"native build failed:\n{proc.stderr[-2000:]}")
-    return _BINARY
+    return binary
 
 
 def preprocess_case_spec(config: Dict[str, Any]) -> Dict[str, Any]:
@@ -69,12 +85,30 @@ def preprocess_case_spec(config: Dict[str, Any]) -> Dict[str, Any]:
     cfg = copy.deepcopy(config)
     pde = cfg["pde"]
     dim = 3 if cfg["domain"]["type"] == "unit_cube" else 2
+    t = pde.get("type")
     mms = pde.get("manufactured_solution", {})
-    u = mms.get("u", mms.get("p"))
+    u = mms.get("u", mms.get("p") if t != "stokes" else None)
     if u is None:
         return cfg
+    params = pde.get("pde_params", {})
+    if t in ("linear_elasticity", "stokes", "navier_stokes"):
+        # vector MMS: derive componentwise sources + exact-u BCs
+        from .linear_elasticity import elasticity_source, lame_from_params
+        from .navier_stokes import ns_source
+        from .stokes import stokes_source
+
+        u_list = list(u)
+        if t == "linear_elasticity":
+            lam, mu = lame_from_params(params)
+            src = elasticity_source(u_list, lam, mu, dim)
+        elif t == "stokes":
+            src = stokes_source(u_list, mms.get("p"), float(params.get("nu", 1.0)), dim)
+        else:
+            src = ns_source(u_list, mms.get("p"), float(params.get("nu", 1.0)), dim)
+        pde["_computed_source"] = [str(s) for s in src]
+        pde["_computed_bc"] = [str(symbolic.parse(e)) for e in u_list]
+        return cfg
     u_sym = symbolic.parse(u)
-    t = pde.get("type")
     kspec = pde.get("coefficients", {}).get("kappa") or {}
     kexpr = kspec.get("expr", kspec.get("value", 1.0)) if kspec else 1.0
     params = pde.get("pde_params", {})
@@ -83,6 +117,10 @@ def preprocess_case_spec(config: Dict[str, Any]) -> Dict[str, Any]:
     elif t == "helmholtz":
         k = float(params.get("k", 1.0))
         src = sp.simplify(-symbolic.laplacian(u_sym, dim) - k * k * u_sym)
+    elif t == "biharmonic":
+        lap_u = symbolic.laplacian(u_sym, dim)
+        src = sp.simplify(symbolic.laplacian(lap_u, dim))
+        pde["_computed_bc_lap"] = str(sp.simplify(-lap_u))
     elif t == "heat":
         src = symbolic.heat_source(u_sym, kexpr, dim)
         pde["_computed_ic"] = str(u_sym)
@@ -134,7 +172,7 @@ def solve_via_cpp(oracle_config: Dict[str, Any]) -> OracleResult:
             f"native backend covers {_SUPPORTED_PDES} on "
             f"{_SUPPORTED_DOMAINS}; got {pde_type} on {domain}"
         )
-    binary = ensure_built()
+    binary = ensure_built(pde_type)
     cfg = preprocess_case_spec(oracle_config)
 
     t0 = time.perf_counter()

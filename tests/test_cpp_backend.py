@@ -61,10 +61,79 @@ def test_cpp_helmholtz():
 
 def test_cpp_unsupported_raises():
     with pytest.raises(NotImplementedError):
-        OracleSolver().solve(
-            _cfg({"type": "stokes", "pde_params": {"nu": 1.0}}),
-            solver_library="cpp",
-        )
+        cfg = _cfg({"type": "poisson",
+                    "manufactured_solution": {"u": "sin(pi*x)*sin(pi*y)"}})
+        cfg["domain"] = {"type": "l_shape"}
+        OracleSolver().solve(cfg, solver_library="cpp")
+
+
+def test_cpp_biharmonic():
+    r = OracleSolver().solve(
+        _cfg({"type": "biharmonic",
+              "manufactured_solution": {"u": "sin(pi*x)*sin(pi*y)"}},
+             mesh={"resolution": 40}),
+        solver_library="cpp",
+    )
+    assert r.baseline_error < 5e-3
+    assert r.solver_info["library"] == "pdebench_tpu_native"
+
+
+def test_cpp_linear_elasticity_p2():
+    r = OracleSolver().solve(
+        _cfg({"type": "linear_elasticity",
+              "pde_params": {"E": 1.0, "nu": 0.3},
+              "manufactured_solution": {
+                  "u": ["sin(pi*x)*sin(pi*y)", "sin(pi*x)*cos(pi*y)"]}},
+             mesh={"resolution": 16},
+             fem={"family": "Lagrange", "degree": 2}),
+        solver_library="cpp",
+    )
+    assert r.baseline_error < 2e-3
+
+
+def test_cpp_stokes_taylor_hood():
+    r = OracleSolver().solve(
+        _cfg({"type": "stokes", "pde_params": {"nu": 1.0},
+              "manufactured_solution": {
+                  "u": ["pi*cos(pi*y)*sin(pi*x)", "-pi*cos(pi*x)*sin(pi*y)"],
+                  "p": "cos(pi*x)*cos(pi*y)"}},
+             mesh={"resolution": 12},
+             fem={"degree_u": 2, "degree_p": 1},
+             oracle_solver={"ksp_type": "minres", "pc_type": "hypre",
+                            "rtol": 1e-10, "pressure_fixing": "point"}),
+        solver_library="cpp",
+    )
+    assert r.baseline_error < 2e-3
+
+
+def test_cpp_stokes_p3_p2():
+    # generic-degree machinery: one dataset NS case uses P3/P2
+    r = OracleSolver().solve(
+        _cfg({"type": "stokes", "pde_params": {"nu": 1.0},
+              "manufactured_solution": {
+                  "u": ["pi*cos(pi*y)*sin(pi*x)", "-pi*cos(pi*x)*sin(pi*y)"],
+                  "p": "cos(pi*x)*cos(pi*y)"}},
+             mesh={"resolution": 8},
+             fem={"degree_u": 3, "degree_p": 2}),
+        solver_library="cpp",
+    )
+    assert r.baseline_error < 1e-3
+
+
+def test_cpp_navier_stokes_newton():
+    r = OracleSolver().solve(
+        _cfg({"type": "navier_stokes", "pde_params": {"nu": 0.5},
+              "manufactured_solution": {
+                  "u": ["pi*cos(pi*y)*sin(pi*x)", "-pi*cos(pi*x)*sin(pi*y)"],
+                  "p": "0"}},
+             mesh={"resolution": 12},
+             fem={"degree_u": 2, "degree_p": 1},
+             oracle_solver={"rtol": 1e-9, "atol": 1e-11, "max_it": 30,
+                            "init": "stokes"}),
+        solver_library="cpp",
+    )
+    assert r.baseline_error < 2e-3
+    assert r.solver_info["converged"]
 
 
 def test_cpp_matches_jax_backend():
