@@ -106,8 +106,9 @@ struct Element {
   std::vector<std::array<int, 3>> mono_exp;      // monomial exponents
   std::vector<double> coef;  // (ndofs x ndofs): phi_a = sum_m coef[m*ndofs+a] mono_m
   // tabulation at quadrature points:
-  std::vector<double> phi;   // (nq x ndofs)
-  std::vector<double> dphi;  // (nq x ndofs x dim), reference gradients
+  std::vector<double> phi;    // (nq x ndofs)
+  std::vector<double> dphi;   // (nq x ndofs x dim), reference gradients
+  std::vector<double> d2phi;  // (nq x ndofs x dim x dim), reference hessians
   int nq = 0;
 
   Element(int dim_, int degree_, const Quadrature& q) : dim(dim_), degree(degree_) {
@@ -141,13 +142,18 @@ struct Element {
     nq = (int)q.pts.size();
     phi.assign((size_t)nq * ndofs, 0.0);
     dphi.assign((size_t)nq * ndofs * dim, 0.0);
+    d2phi.assign((size_t)nq * ndofs * dim * dim, 0.0);
     for (int iq = 0; iq < nq; ++iq) {
       const auto& p = q.pts[iq];
       for (int a = 0; a < ndofs; ++a) {
         phi[(size_t)iq * ndofs + a] = eval_basis(a, p[0], p[1], p[2]);
-        for (int d = 0; d < dim; ++d)
+        for (int d = 0; d < dim; ++d) {
           dphi[((size_t)iq * ndofs + a) * dim + d] =
               eval_dbasis(a, d, p[0], p[1], p[2]);
+          for (int e = 0; e < dim; ++e)
+            d2phi[(((size_t)iq * ndofs + a) * dim + d) * dim + e] =
+                eval_d2basis(a, d, e, p[0], p[1], p[2]);
+        }
       }
     }
   }
@@ -168,6 +174,22 @@ struct Element {
       double c = coef[(size_t)m * ndofs + a] * e[d];
       e[d] -= 1;
       s += c * std::pow(x, e[0]) * std::pow(y, e[1]) * std::pow(z, e[2]);
+    }
+    return s;
+  }
+
+  double eval_d2basis(int a, int d, int e, double x, double y,
+                      double z) const {
+    double s = 0;
+    for (int m = 0; m < ndofs; ++m) {
+      int ex[3] = {mono_exp[m][0], mono_exp[m][1], mono_exp[m][2]};
+      if (ex[d] == 0) continue;
+      double c = coef[(size_t)m * ndofs + a] * ex[d];
+      ex[d] -= 1;
+      if (ex[e] == 0) continue;
+      c *= ex[e];
+      ex[e] -= 1;
+      s += c * std::pow(x, ex[0]) * std::pow(y, ex[1]) * std::pow(z, ex[2]);
     }
     return s;
   }
