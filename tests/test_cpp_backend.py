@@ -136,6 +136,39 @@ def test_cpp_navier_stokes_newton():
     assert r.solver_info["converged"]
 
 
+def test_cpp_poisson_p2_convergence_order():
+    # P2 Lagrange: rel-L2 error ~ h^3 -> halving h cuts error ~8x
+    errs = []
+    for res in (8, 16):
+        r = OracleSolver().solve(
+            _cfg({"type": "poisson",
+                  "manufactured_solution": {"u": "sin(pi*x)*sin(pi*y)"}},
+                 mesh={"resolution": res},
+                 fem={"family": "Lagrange", "degree": 2}),
+            solver_library="cpp",
+        )
+        errs.append(r.baseline_error)
+    ratio = errs[0] / errs[1]
+    assert 5.0 < ratio < 12.0, (errs, ratio)
+
+
+def test_cpp_elasticity_convergence_order():
+    # vector P1: rel-L2 error ~ h^2 -> ratio ~4
+    errs = []
+    for res in (12, 24):
+        r = OracleSolver().solve(
+            _cfg({"type": "linear_elasticity",
+                  "pde_params": {"E": 1.0, "nu": 0.3},
+                  "manufactured_solution": {
+                      "u": ["sin(pi*x)*sin(pi*y)", "sin(pi*x)*cos(pi*y)"]}},
+                 mesh={"resolution": res}),
+            solver_library="cpp",
+        )
+        errs.append(r.baseline_error)
+    ratio = errs[0] / errs[1]
+    assert 2.5 < ratio < 6.0, (errs, ratio)
+
+
 def test_cpp_matches_jax_backend():
     cfg = _cfg(
         {"type": "poisson",
