@@ -450,14 +450,62 @@ def _mesh_domain_cached(domain_type: str, spec_json: str, char_length: float) ->
     return Mesh("triangle", p, tri, sdf=fd)
 
 
+def rectilinear_outline(
+    domain_type: str, domain_spec: Dict[str, Any]
+):
+    """(breaks_x, breaks_y, sdf, bbox) for axis-aligned rectilinear
+    domains (l_shape, t_junction), or None.
+
+    These domains are unions of axis-aligned rectangles, so a structured
+    triangulation restricted to in-domain cells is exact — which turns
+    their assembled operators into masked lattice stencils (gather-free
+    on TPU; see solvers/stencil.py) instead of unstructured gathers.
+    """
+    params = domain_spec.get("geometry_params", {})
+    if domain_type == "l_shape":
+        sdf, verts, bbox = _l_shape(domain_spec, params)
+        v = np.asarray(verts, dtype=float)
+        # all edges must be axis-aligned
+        nxt = np.roll(v, -1, axis=0)
+        if not np.all(
+            (np.abs(v[:, 0] - nxt[:, 0]) < 1e-12)
+            | (np.abs(v[:, 1] - nxt[:, 1]) < 1e-12)
+        ):
+            return None
+        return np.unique(v[:, 0]), np.unique(v[:, 1]), sdf, bbox
+    if domain_type == "t_junction":
+        h = params.get("horizontal_rect", [0.0, 1.0, 0.4, 0.6])
+        vr = params.get("vertical_rect", [0.4, 0.6, 0.0, 0.5])
+        sdf, _, bbox = domain_sdf(domain_type, domain_spec)
+        bx = np.unique([h[0], h[1], vr[0], vr[1]])
+        by = np.unique([h[2], h[3], vr[2], vr[3]])
+        return bx, by, sdf, bbox
+    return None
+
+
 def mesh_domain(
     domain_type: str, domain_spec: Dict[str, Any], char_length: float
 ) -> Mesh:
     """Mesh a complex 2-D domain at target edge length char_length.
 
+    Axis-aligned rectilinear domains (l_shape, t_junction) get an exact
+    structured masked triangulation whose dofs form a masked lattice
+    (stencil/GMG fast path); everything else goes through the
+    signed-distance (distmesh-style) mesher.
+
     Results are cached per (domain, char_length) — re-solves of the same
     case (e.g. reference_config comparisons) skip re-meshing.
     """
+    outline = rectilinear_outline(domain_type, domain_spec)
+    if outline is not None:
+        from .mesh import rectilinear_masked_mesh
+
+        bx, by, sdf, bbox = outline
+        m = rectilinear_masked_mesh(
+            sdf, bbox, bx, by, resolution=1.0 / float(char_length)
+        )
+        if m is not None:
+            return m
     return _mesh_domain_cached(
         domain_type, json.dumps(domain_spec, sort_keys=True), float(char_length)
     )

@@ -206,3 +206,88 @@ def box_mesh(
 
 def unit_cube_mesh(n: int) -> Mesh:
     return box_mesh(n, n, n)
+
+
+def _aligned_axis_count(
+    lo: float, hi: float, breaks, resolution: float, max_den: int = 64
+) -> Optional[int]:
+    """Cell count n for a uniform axis grid of pitch ~1/resolution whose
+    gridlines contain every breakpoint, or None if the breakpoints are
+    not small rationals of the span."""
+    from fractions import Fraction
+    from math import ceil, gcd
+
+    span = hi - lo
+    if span <= 0:
+        return None
+    L = 1
+    for b in breaks:
+        f = (float(b) - lo) / span
+        if f <= 1e-12 or f >= 1 - 1e-12:
+            continue
+        fr = Fraction(f).limit_denominator(max_den)
+        if abs(float(fr) - f) > 1e-9:
+            return None
+        L = L * fr.denominator // gcd(L, fr.denominator)
+    target = span * float(resolution)
+    n = max(L, int(round(target / L)) * L)
+    if n < 0.8 * target:
+        n += L
+    return n
+
+
+def rectilinear_masked_mesh(
+    sdf: Callable[[np.ndarray], np.ndarray],
+    bbox: Tuple[float, float, float, float],
+    breaks_x,
+    breaks_y,
+    resolution: float,
+) -> Optional[Mesh]:
+    """Structured masked triangulation of an axis-aligned rectilinear
+    2-D domain: a uniform per-axis lattice whose pitch divides every
+    edge coordinate, keeping only the cells whose centroid is inside.
+
+    The surviving vertices are a subset of a regular lattice, so the
+    assembled operators become masked lattice stencils
+    (solvers/stencil.py) — the gather-free TPU fast path — instead of
+    unstructured gather/scatter operators. Returns None when the
+    breakpoints don't align with any reasonable uniform pitch.
+    """
+    x0, x1, y0, y1 = [float(v) for v in bbox]
+    nx = _aligned_axis_count(x0, x1, breaks_x, resolution)
+    ny = _aligned_axis_count(y0, y1, breaks_y, resolution)
+    if nx is None or ny is None or nx * ny > 4_000_000:
+        return None
+    xs = np.linspace(x0, x1, nx + 1)
+    ys = np.linspace(y0, y1, ny + 1)
+
+    ii, jj = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+    ii, jj = ii.ravel(), jj.ravel()
+    cx = x0 + (ii + 0.5) * (x1 - x0) / nx
+    cy = y0 + (jj + 0.5) * (y1 - y0) / ny
+    inside = sdf(np.stack([cx, cy], axis=1)) < 0.0
+    if not inside.any():
+        return None
+    ii, jj = ii[inside], jj[inside]
+
+    def vid(i, j):
+        return i * (ny + 1) + j
+
+    v00, v10 = vid(ii, jj), vid(ii + 1, jj)
+    v01, v11 = vid(ii, jj + 1), vid(ii + 1, jj + 1)
+    t1 = np.stack([v00, v10, v11], axis=1)
+    t2 = np.stack([v00, v11, v01], axis=1)
+    cells = np.concatenate([t1, t2], axis=0)
+
+    # drop unused vertices, renumber
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    coords = np.stack([X.ravel(), Y.ravel()], axis=1)
+    used = np.unique(cells.reshape(-1))
+    remap = np.full(coords.shape[0], -1, dtype=np.int64)
+    remap[used] = np.arange(len(used))
+    return Mesh(
+        "triangle",
+        coords[used],
+        remap[cells].astype(np.int32),
+        sdf=sdf,
+    )

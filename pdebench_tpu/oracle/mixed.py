@@ -266,14 +266,21 @@ def saddle_gmg_precond(
     ).to_scipy()
     A_bc = constrained_csr(A_s, mask_u)
     lat_bc = LatticeOperator(A_bc, lat, dtype=jnp.float32)
+    W_bc = np.asarray(lat_bc.W, dtype=np.float64)
+    if lat.masked:
+        # absent sites of the masked lattice: unit diagonal for smoothers
+        absent = (lat.perm == lat.n_dof).reshape(lat_bc.shape)
+        for k, off in enumerate(lat_bc.offsets):
+            if all(o == 0 for o in off):
+                W_bc[k][absent] = 1.0
     gmg = setup_gmg(
-        np.asarray(lat_bc.W, dtype=np.float64),
+        W_bc,
         lat_bc.offsets,
         lat_bc.shape,
         dtype=jnp.float32,
     )
     vcyc = gmg.precond()
-    perm = lat_bc.perm_j
+    emb = lat_bc.embedding
     inv = lat_bc.inv_j
     shape = lat_bc.shape
 
@@ -291,7 +298,7 @@ def saddle_gmg_precond(
         ru = r[:nu_dofs].reshape(-1, d)
         comps = []
         for c in range(d):
-            rc32 = ru[:, c].astype(jnp.float32)[perm]
+            rc32 = emb.embed(ru[:, c].astype(jnp.float32), 0.0)
             zc = vcyc(rc32.reshape(shape)).reshape(-1)[inv]
             comps.append(zc.astype(r.dtype))
         zu = jnp.stack(comps, axis=1).reshape(-1)

@@ -126,9 +126,10 @@ def solve_constrained_ir(
     x0 = jnp.where(mask, g, 0.0)
 
     if lattice32 is not None:
-        perm = lattice32.perm_j
+        emb = lattice32.embedding
         inv = lattice32.inv_j
-        mask_lat = mask[perm]
+        # absent sites of masked lattices are treated as constrained
+        mask_lat = emb.embed(mask, True)
         gshape = lattice32.grid_shape
         gmg = getattr(lattice32, "gmg", None)
         if gmg is not None:
@@ -139,9 +140,10 @@ def solve_constrained_ir(
                 return vcyc(r_lat.reshape(gshape)).reshape(-1)
 
         else:
-            diag_lat = scatter_add(
-                jnp.einsum("cii->ci", A32_local), dofmap, ndof
-            )[perm]
+            diag_lat = emb.embed(
+                scatter_add(jnp.einsum("cii->ci", A32_local), dofmap, ndof),
+                1.0,
+            )
             M32 = jacobi_preconditioner(
                 jnp.where(mask_lat, 1.0, diag_lat).astype(jnp.float32)
             )
@@ -154,7 +156,8 @@ def solve_constrained_ir(
         x, info = refined_solve(
             A64, A32, rhs, x0=x0, M32=M32, rtol=rtol, atol=atol,
             inner_iters=inner_iters, max_outer=max_outer,
-            inner_fwd=lambda r: r[perm], inner_bwd=lambda z: z[inv],
+            inner_fwd=lambda r: emb.embed(r, 0.0),
+            inner_bwd=lambda z: z[inv],
             inner=inner,
         )
         return x, info.iterations, info.residual, info.converged

@@ -498,6 +498,18 @@ def attach_lattice_gmg(lat32, mask_np, A_override=None) -> None:
             lat_bc.offsets,
             lat_bc.shape,
         )
+        if lat32.lattice.masked:
+            # absent sites embed as all-zero rows; give them a unit
+            # diagonal so smoothers never divide by zero
+            absent = (lat32.lattice.perm == lat32.lattice.n_dof).reshape(
+                shape
+            )
+            for k, off in enumerate(offs):
+                if all(o == 0 for o in off):
+                    if d > 1:
+                        W_bc[k][absent] = np.eye(d)
+                    else:
+                        W_bc[k][absent] = 1.0
     else:
         # node-level mask in lattice order (benchmark BCs constrain
         # whole nodes; partial constraints fall back to a plain mask-any)
@@ -505,7 +517,10 @@ def attach_lattice_gmg(lat32, mask_np, A_override=None) -> None:
             node_mask = mask_np.reshape(-1, d).any(axis=1)
         else:
             node_mask = mask_np
-        mask_lat = node_mask[lat32.lattice.perm].reshape(lat32.shape)
+        # absent sites of masked lattices count as constrained (True)
+        mask_lat = lat32.lattice.embed_np(node_mask, True).reshape(
+            lat32.shape
+        )
         W_bc = constrain_stencil_weights(
             np.asarray(lat32.W, dtype=np.float64),
             lat32.offsets,

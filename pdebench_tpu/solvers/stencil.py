@@ -30,13 +30,52 @@ import scipy.sparse as sps
 
 @dataclass
 class Lattice:
+    """Injection of dofs onto an integer lattice.
+
+    Full lattices (structured rectangles/boxes) have n_dof == prod(shape)
+    and `perm` a permutation. Masked lattices (structured triangulations
+    of rectilinear domains — l_shape/t_junction — restricted to in-domain
+    cells) fill only a subset of sites: absent entries of `perm` hold the
+    sentinel n_dof, and `embed` pads with a fill value. Absent sites are
+    treated downstream exactly like Dirichlet-constrained points.
+    """
+
     shape: Tuple[int, ...]  # (ny, nx) or (nz, ny, nx), row-major last-x
-    perm: np.ndarray  # dof index -> lattice flat order
-    inv: np.ndarray  # lattice flat order -> dof index
+    perm: np.ndarray  # lattice flat site -> dof index (or n_dof sentinel)
+    inv: np.ndarray  # dof index -> lattice flat site
+    n_dof: int = 0
+    masked: bool = False
+
+    def embed(self, v: jnp.ndarray, fill) -> jnp.ndarray:
+        """Dof vector -> flat lattice vector (absent sites = fill)."""
+        perm = jnp.asarray(self.perm, dtype=jnp.int32)
+        if not self.masked:
+            return v[perm]
+        pad = jnp.asarray([fill], dtype=v.dtype)
+        return jnp.concatenate([v, pad])[perm]
+
+    def extract(self, v_lat: jnp.ndarray) -> jnp.ndarray:
+        """Flat lattice vector -> dof vector."""
+        return v_lat[jnp.asarray(self.inv, dtype=jnp.int32)]
+
+    def embed_np(self, v: np.ndarray, fill) -> np.ndarray:
+        v = np.asarray(v)
+        if not self.masked:
+            return v[self.perm]
+        return np.concatenate([v, np.asarray([fill], dtype=v.dtype)])[
+            self.perm
+        ]
 
 
-def detect_lattice(dof_coords: np.ndarray) -> Optional[Lattice]:
-    """Map dof coordinates onto a full integer lattice, if they form one."""
+def detect_lattice(
+    dof_coords: np.ndarray, allow_masked: bool = True
+) -> Optional[Lattice]:
+    """Map dof coordinates onto an integer lattice.
+
+    Full lattices are detected as before; with allow_masked, dof sets
+    that injectively fill >= 40% of a lattice (masked rectilinear
+    domains) are accepted too, with sentinel-padded `perm`.
+    """
     x = np.asarray(dof_coords)
     n, dim = x.shape
     lo = x.min(axis=0)
@@ -56,7 +95,9 @@ def detect_lattice(dof_coords: np.ndarray) -> Optional[Lattice]:
         if not np.allclose(idx * step + lo[d], x[:, d], atol=1e-8 * max(span)):
             return None
         ij[:, d] = idx.astype(np.int64)
-    if int(np.prod(sizes)) != n:
+    n_lat = int(np.prod(sizes))
+    masked = n_lat != n
+    if masked and (not allow_masked or n < 0.4 * n_lat or n_lat > 2**31):
         return None
     # flat index: x fastest (row-major with axes reversed: z, y, x)
     flat = np.zeros(n, dtype=np.int64)
@@ -64,11 +105,10 @@ def detect_lattice(dof_coords: np.ndarray) -> Optional[Lattice]:
         flat = flat * sizes[d] + ij[:, d]
     if len(np.unique(flat)) != n:
         return None
-    perm = np.argsort(flat)
-    inv = np.empty(n, dtype=np.int64)
-    inv[perm] = np.arange(n)
     shape = tuple(int(s) for s in reversed(sizes))  # (…, ny, nx)
-    return Lattice(shape=shape, perm=perm, inv=inv)
+    perm = np.full(n_lat, n, dtype=np.int64)
+    perm[flat] = np.arange(n)
+    return Lattice(shape=shape, perm=perm, inv=flat, n_dof=n, masked=masked)
 
 
 def _unique_offsets(d: np.ndarray):
@@ -94,8 +134,10 @@ class LatticeOperator:
     def __init__(self, A: sps.spmatrix, lattice: Lattice, dtype=jnp.float64):
         self.lattice = lattice
         shape = lattice.shape
-        dim = len(shape)
-        Al = A.tocsr()[lattice.perm][:, lattice.perm].tocoo()
+        coo = A.tocoo()
+        # lattice site of each entry's row/col dof
+        lr = lattice.inv[coo.row]
+        lc = lattice.inv[coo.col]
 
         # offsets per entry in lattice coordinates
         def unflatten(f):
@@ -106,17 +148,17 @@ class LatticeOperator:
                 rem = rem // s
             return np.stack(list(reversed(out)), axis=1)  # (…, y, x)
 
-        rc = unflatten(Al.row)
-        cc = unflatten(Al.col)
+        rc = unflatten(lr)
+        cc = unflatten(lc)
         d = cc - rc  # (nnz, dim)
         offs, o_idx = _unique_offsets(d)
         self.offsets = [tuple(int(v) for v in o) for o in offs]
         self.pad = int(np.abs(offs).max()) if len(offs) else 0
         # bincount accumulation (np.add.at is ~100x slower at 10^7 nnz)
         n_lat = int(np.prod(shape))
-        flat = o_idx * n_lat + Al.row
+        flat = o_idx * n_lat + lr
         W = np.bincount(
-            flat, weights=Al.data, minlength=len(offs) * n_lat
+            flat, weights=coo.data, minlength=len(offs) * n_lat
         ).reshape((len(offs),) + shape)
         self.W = jnp.asarray(W).astype(dtype)
         self.dtype = dtype
@@ -124,6 +166,11 @@ class LatticeOperator:
         self.inv_j = jnp.asarray(lattice.inv, dtype=jnp.int32)
         self.shape = shape
         self.grid_shape = shape
+
+    @property
+    def embedding(self) -> Lattice:
+        """The dof <-> flat-grid-vector injection for this operator."""
+        return self.lattice
 
     def astype(self, dtype) -> "LatticeOperator":
         import copy
@@ -146,7 +193,10 @@ class LatticeOperator:
 
     def __call__(self, u_flat: jnp.ndarray) -> jnp.ndarray:
         """Apply on a flat dof vector (any dof ordering handled)."""
-        u_lat = u_flat[self.perm_j].reshape(self.shape).astype(self.W.dtype)
+        u_lat = (
+            self.lattice.embed(u_flat.astype(self.W.dtype), 0)
+            .reshape(self.shape)
+        )
         y = self.apply_grid(u_lat).reshape(-1)
         return y[self.inv_j].astype(u_flat.dtype)
 
@@ -201,19 +251,31 @@ class BlockLatticeOperator:
         self.W = jnp.asarray(W).astype(dtype)
         self.shape = shape
         self.dtype = dtype
-        # dof -> (lattice-major, component-minor) permutation
-        # flat lattice-dof index = lattice_pos * d + comp
+        # dof <-> (lattice-major, component-minor) block-level injection
+        # flat lattice-dof index = lattice_pos * d + comp; absent sites
+        # of masked lattices get the n sentinel (embedded as zeros)
         n = A.shape[0]
         dof_nodes = np.arange(n) // d
         dof_comp = np.arange(n) % d
         lat_pos = lattice.inv[dof_nodes]
         lat_flat = lat_pos * d + dof_comp
-        perm = np.argsort(lat_flat)
-        inv = np.empty(n, dtype=np.int64)
-        inv[perm] = np.arange(n)
+        perm = np.full(n_lat * d, n, dtype=np.int64)
+        perm[lat_flat] = np.arange(n)
+        self.block_lattice = Lattice(
+            shape=shape + (d,),
+            perm=perm,
+            inv=lat_flat,
+            n_dof=n,
+            masked=lattice.masked,
+        )
         self.perm_j = jnp.asarray(perm, dtype=jnp.int32)
-        self.inv_j = jnp.asarray(inv, dtype=jnp.int32)
+        self.inv_j = jnp.asarray(lat_flat, dtype=jnp.int32)
         self.grid_shape = shape + (d,)
+
+    @property
+    def embedding(self) -> Lattice:
+        """The (node, comp) dof <-> flat-grid-vector injection."""
+        return self.block_lattice
 
     def astype(self, dtype) -> "BlockLatticeOperator":
         import copy
@@ -239,9 +301,8 @@ class BlockLatticeOperator:
     def __call__(self, u_flat: jnp.ndarray) -> jnp.ndarray:
         d = self.ncomp
         u_lat = (
-            u_flat[self.perm_j]
+            self.block_lattice.embed(u_flat.astype(self.W.dtype), 0)
             .reshape(self.shape + (d,))
-            .astype(self.W.dtype)
         )
         y = self.apply_grid(u_lat).reshape(-1)
         return y[self.inv_j].astype(u_flat.dtype)
