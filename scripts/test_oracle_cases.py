@@ -84,6 +84,12 @@ def main(argv=None):
     ap.add_argument("--solver-library", default="jax")
     ap.add_argument("--report", default=None, help="write JSON report here")
     ap.add_argument("--start", type=int, default=0, help="skip first N cases")
+    ap.add_argument(
+        "--resume-jsonl",
+        default=None,
+        help="append one JSON line per case here; cases already present "
+        "(by case_id) are skipped, so a killed sweep resumes where it left",
+    )
     args = ap.parse_args(argv)
 
     data_file = find_data_file(args.version, args.data)
@@ -91,6 +97,16 @@ def main(argv=None):
     cases = cases[args.start :]
     if args.limit:
         cases = cases[: args.limit]
+
+    done = set()
+    if args.resume_jsonl and Path(args.resume_jsonl).exists():
+        for line in open(args.resume_jsonl):
+            try:
+                done.add(json.loads(line)["case_id"])
+            except (ValueError, KeyError):
+                pass
+        cases = [c for c in cases if c["id"] not in done]
+        print(f"resume: {len(done)} cases already recorded")
     print(f"validating oracle on {len(cases)} cases")
 
     report = []
@@ -109,10 +125,12 @@ def main(argv=None):
             f"({elapsed:.1f}s) {extra}",
             flush=True,
         )
-        report.append(
-            {"case_id": case["id"], "ok": ok, "message": msg,
-             "elapsed": elapsed, **info}
-        )
+        rec = {"case_id": case["id"], "ok": ok, "message": msg,
+               "elapsed": elapsed, **info}
+        report.append(rec)
+        if args.resume_jsonl:
+            with open(args.resume_jsonl, "a") as f:
+                f.write(json.dumps(rec) + "\n")
     print(f"\n{n_ok}/{len(cases)} oracles valid")
     if args.report:
         json.dump(report, open(args.report, "w"), indent=1)
