@@ -216,6 +216,7 @@ def minres(
     rtol: float = 1e-10,
     atol: float = 1e-14,
     maxiter: int = 10000,
+    restarts: int = 4,
 ):
     """Preconditioned MINRES for symmetric (possibly indefinite) systems.
 
@@ -223,18 +224,31 @@ def minres(
     Lanczos + Givens implementation with static shapes; this is the
     device path for the reference's minres+hypre Stokes cases
     (oracle/stokes.py:253-257).
+
+    The recurrence's residual estimate (phibar) is on the preconditioned
+    residual and drifts from the true residual when M is applied in
+    lower precision (f32 V-cycles), so a run can exit early believing it
+    converged. Up to `restarts` outer restarts re-seed the Lanczos
+    recurrence from the true f64 residual until it actually meets tol.
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
     if M is None:
         M = lambda r: r
-    tol = _tolerance(b, rtol, atol)
     eps = jnp.asarray(1e-300, dtype=b.dtype)
+    tiny = jnp.asarray(1e-300, dtype=jnp.float64)
 
     def run(x):
         r1_ = b - A(x)
+        rnorm0 = jnp.linalg.norm(r1_)
         y_ = M(r1_)
         beta1_ = jnp.sqrt(jnp.maximum(jnp.vdot(r1_, y_), 0.0))
+        # inner target: the relative 2-norm reduction still needed,
+        # mapped into the preconditioned norm phibar tracks — so each
+        # restart keeps iterating until it closes (its share of) the gap
+        tol = beta1_ * jnp.minimum(
+            1.0, tol_true / jnp.maximum(rnorm0, tiny)
+        )
 
         init = dict(
             x=x,
@@ -297,9 +311,40 @@ def minres(
         out = jax.lax.while_loop(cond_fn, body_fn, init)
         return out["x"], out["k"]
 
-    x, k = run(x0)
-    res = jnp.linalg.norm(b - A(x))
-    return x, KrylovInfo(k, res, res <= jnp.linalg.norm(b) * rtol + atol)
+    tol_true = jnp.linalg.norm(b) * rtol + atol
+
+    def outer_cond(s):
+        return jnp.logical_and(
+            s["res"] > tol_true,
+            jnp.logical_and(s["rs"] < restarts, s["total"] < maxiter),
+        )
+
+    def outer_body(s):
+        x, k = run(s["x"])
+        res = jnp.linalg.norm(b - A(x))
+        # keep the best iterate: a stagnated restart must not regress
+        better = res < s["res"]
+        return dict(
+            x=jnp.where(better, x, s["x"]),
+            res=jnp.where(better, res, s["res"]),
+            total=s["total"] + k,
+            rs=s["rs"] + 1,
+        )
+
+    init_res = jnp.linalg.norm(b - A(x0))
+    out = jax.lax.while_loop(
+        outer_cond,
+        outer_body,
+        dict(
+            x=x0,
+            res=init_res,
+            total=jnp.asarray(0, jnp.int32),
+            rs=jnp.asarray(0, jnp.int32),
+        ),
+    )
+    return out["x"], KrylovInfo(
+        out["total"], out["res"], out["res"] <= tol_true
+    )
 
 
 def refined_solve(
