@@ -83,6 +83,31 @@ class BurgersSolver:
         ts = t0 + dt * jnp.arange(1, num_steps + 1)
         inv_dt = 1.0 / dt
 
+        # structured meshes: the per-step matrix (lagged convection)
+        # shares the constant part's adjacency, so the inner Krylov can
+        # stay a gather-free stencil with freshly-scattered weights each
+        # step, preconditioned by the constant part's GMG hierarchy
+        lattice32, wmap = None, None
+        if _MIXED:
+            A_const = (
+                inv_dt * local_mass(cb) + nu * local_stiffness(cb)
+            )
+            lattice32 = scalar.attach_gmg(
+                scalar.maybe_lattice32(ctx, A_const),
+                A_const,
+                space,
+                np.asarray(mask),
+            )
+            if lattice32 is not None:
+                from ..solvers.stencil import lattice_weight_map
+
+                if getattr(lattice32, "gmg", None) is not None:
+                    wmap = lattice_weight_map(
+                        lattice32.lattice, space.dofmap_scalar
+                    )
+                if wmap is None:
+                    lattice32 = None
+
         @jax.jit
         def run_scan(M, K, u0_arr):
             def step(u_n, t_next):
@@ -98,9 +123,19 @@ class BurgersSolver:
                 if _MIXED:
                     # matrix changes per step (lagged convection): cast
                     # the fresh batch and run FGMRES-IR
+                    A32 = A.astype(jnp.float32)
+                    sw = (
+                        (wmap, wmap.weights(A32))
+                        if lattice32 is not None
+                        else None
+                    )
                     x, it, res, conv = solve_constrained_ir(
-                        A, A.astype(jnp.float32), dofmap, b, mask, g, ndof,
-                        rtol, atol, inner_iters=60, inner="gmres",
+                        A, A32, dofmap, b, mask, g, ndof,
+                        rtol, atol,
+                        inner_iters=20 if lattice32 is not None else 60,
+                        inner="gmres",
+                        lattice32=lattice32,
+                        step_weights=sw,
                     )
                 else:
                     x, it, res, conv = solve_constrained(

@@ -174,7 +174,13 @@ class ConvectionDiffusionSolver:
                     if _MIXED:
                         x, it, res, conv = solve_constrained_ir(
                             A_sys, A32, dofmap, b, mask, g, ndof, rtol, atol,
-                            inner_iters=60, inner="gmres",
+                            inner_iters=(
+                                20
+                                if getattr(lattice32, "gmg", None)
+                                is not None
+                                else 60
+                            ),
+                            inner="gmres",
                             lattice32=lattice32,
                         )
                     else:

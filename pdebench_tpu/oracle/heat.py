@@ -105,6 +105,11 @@ class HeatSolver:
                     x, it, res, conv = solve_constrained_ir(
                         A_sys, A32, dofmap, b, mask, g, ndof, rtol, atol,
                         lattice32=lattice32,
+                        inner_iters=(
+                            12
+                            if getattr(lattice32, "gmg", None) is not None
+                            else 30
+                        ),
                     )
                 else:
                     x, it, res, conv = solve_constrained(

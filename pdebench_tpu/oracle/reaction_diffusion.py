@@ -120,11 +120,14 @@ class ReactionDiffusionSolver:
         phi = cb.phi  # (nq, nl)
         ts = t0 + dt * jnp.arange(1, num_steps + 1)
 
-        lattice32 = None
-        if _MIXED and not nonlinear:
-            # linear reaction: the step matrix (1 + dt a) M + dt eps K
-            # is constant — stencil + GMG path
-            rp0 = float(sp.diff(R_sym, _U))
+        lattice32, wmap = None, None
+        if _MIXED:
+            # stencil + GMG path. Linear reaction: the step matrix
+            # (1 + dt a) M + dt eps K is constant. Nonlinear: the Newton
+            # Jacobian varies per step, but shares the constant part's
+            # adjacency — per-step weights via LatticeWeightMap with the
+            # constant part's GMG as preconditioner.
+            rp0 = float(sp.diff(R_sym, _U).subs(_U, 0))
             A_pre = (
                 (1.0 / dt) * local_mass(cb)
                 + epsilon * local_stiffness(cb)
@@ -136,6 +139,15 @@ class ReactionDiffusionSolver:
                 space,
                 np.asarray(mask),
             )
+            if nonlinear and lattice32 is not None:
+                from ..solvers.stencil import lattice_weight_map
+
+                if getattr(lattice32, "gmg", None) is not None:
+                    wmap = lattice_weight_map(
+                        lattice32.lattice, space.dofmap_scalar
+                    )
+                if wmap is None:
+                    lattice32 = None
 
         # u at quadrature points: (c, nq) = phi (nq, nl) . u[dofmap] (c, nl)
         def u_at_q(u):
@@ -172,6 +184,12 @@ class ReactionDiffusionSolver:
                             A, A.astype(jnp.float32), dofmap, b, mask, g,
                             ndof, ksp_rtol, newton_atol,
                             lattice32=lattice32,
+                            inner_iters=(
+                                12
+                                if getattr(lattice32, "gmg", None)
+                                is not None
+                                else 30
+                            ),
                         )
                     else:
                         x, it, res, conv = solve_constrained(
@@ -202,10 +220,21 @@ class ReactionDiffusionSolver:
                     # nonlinear tolerance (snes_rtol)
                     lin_rtol = max(1e-6, ksp_rtol)
                     if _MIXED:
+                        J32 = J.astype(jnp.float32)
+                        sw = (
+                            (wmap, wmap.weights(J32))
+                            if lattice32 is not None
+                            else None
+                        )
                         d, it, res, conv = solve_constrained_ir(
-                            J, J.astype(jnp.float32), dofmap, -G, mask,
+                            J, J32, dofmap, -G, mask,
                             jnp.zeros(ndof), ndof, lin_rtol, newton_atol,
-                            inner_iters=60, inner="gmres", max_outer=10,
+                            inner_iters=(
+                                15 if lattice32 is not None else 60
+                            ),
+                            inner="gmres", max_outer=10,
+                            lattice32=lattice32,
+                            step_weights=sw,
                         )
                     else:
                         d, it, res, conv = solve_constrained(

@@ -106,6 +106,7 @@ def solve_constrained_ir(
     lattice32=None,
     inner: str = "cg",
     M32_custom=None,
+    step_weights=None,
 ):
     """Traceable mixed-precision constrained solve (SPD systems).
 
@@ -115,6 +116,10 @@ def solve_constrained_ir(
     `lattice32` (a solvers.stencil.LatticeOperator in f32), the inner
     iterations run the gather-free stencil apply in lattice ordering —
     the dof<->lattice permutation happens once per outer round only.
+    `step_weights=(LatticeWeightMap, W32)` overrides the stencil weights
+    with freshly-scattered per-step values (time-varying operators in
+    scans: lagged Burgers convection, Newton Jacobians) while keeping
+    `lattice32`'s constant-part GMG as the preconditioner.
     Callers needing a guaranteed answer should check `converged` and
     re-solve in f64.
     """
@@ -148,10 +153,22 @@ def solve_constrained_ir(
                 jnp.where(mask_lat, 1.0, diag_lat).astype(jnp.float32)
             )
 
-        def A32(v_lat):
-            vz = jnp.where(mask_lat, 0.0, v_lat)
-            y = lattice32.apply_grid(vz.reshape(gshape)).reshape(-1)
-            return jnp.where(mask_lat, v_lat, y)
+        if step_weights is not None:
+            wmap, W32_step = step_weights
+
+            def A32(v_lat):
+                vz = jnp.where(mask_lat, 0.0, v_lat)
+                y = wmap.apply_grid(
+                    W32_step, vz.reshape(gshape)
+                ).reshape(-1)
+                return jnp.where(mask_lat, v_lat, y)
+
+        else:
+
+            def A32(v_lat):
+                vz = jnp.where(mask_lat, 0.0, v_lat)
+                y = lattice32.apply_grid(vz.reshape(gshape)).reshape(-1)
+                return jnp.where(mask_lat, v_lat, y)
 
         x, info = refined_solve(
             A64, A32, rhs, x0=x0, M32=M32, rtol=rtol, atol=atol,

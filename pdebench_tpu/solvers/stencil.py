@@ -128,6 +128,68 @@ def _unique_offsets(d: np.ndarray):
     return offs, o_idx
 
 
+class LatticeWeightMap:
+    """Jittable local-matrix -> stencil-weight scatter for a fixed mesh.
+
+    Time-varying operators inside lax.scans (lagged Burgers convection,
+    per-step Newton Jacobians) share the mesh adjacency of the constant
+    part, so their stencil OFFSETS are fixed; only the weights change.
+    This precomputes the (cell, i, j) -> (offset_k, lattice_site) flat
+    scatter indices on host once, and `weights()` turns a traced local
+    batch (c, nl, nl) into stencil weights with one scatter-add — the
+    whole inner Krylov stays gather-free with the TRUE per-step operator.
+    """
+
+    def __init__(self, lattice: Lattice, dofmap: np.ndarray):
+        shape = lattice.shape
+        dim = len(shape)
+        n_lat = int(np.prod(shape))
+        dm = np.asarray(dofmap)
+        site = lattice.inv[dm]  # (c, nl)
+        coords = []
+        rem = site
+        for s in reversed(shape):
+            coords.append(rem % s)
+            rem = rem // s
+        coords = np.stack(list(reversed(coords)), axis=-1)  # (c, nl, dim)
+        # offset[c, i, j] = coords(col j) - coords(row i)
+        d = coords[:, None, :, :] - coords[:, :, None, :]  # (c, i, j, dim)
+        offs, o_idx = _unique_offsets(d.reshape(-1, dim))
+        self.offsets = [tuple(int(v) for v in o) for o in offs]
+        self.pad = int(np.abs(offs).max()) if len(offs) else 0
+        self.shape = shape
+        rows = np.broadcast_to(site[:, :, None], d.shape[:3])
+        flat = o_idx.reshape(rows.shape) * n_lat + rows
+        self._flat = jnp.asarray(flat.reshape(-1), dtype=jnp.int32)
+        self._n = len(self.offsets) * n_lat
+
+    def weights(self, A_local: jnp.ndarray) -> jnp.ndarray:
+        """(c, nl, nl) local batch -> (K,) + shape stencil weights."""
+        W = jnp.zeros(self._n, A_local.dtype).at[self._flat].add(
+            A_local.reshape(-1)
+        )
+        return W.reshape((len(self.offsets),) + self.shape)
+
+    def apply_grid(self, W: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+        up = jnp.pad(u, self.pad)
+        out = jnp.zeros_like(u)
+        for k, off in enumerate(self.offsets):
+            start = tuple(self.pad + o for o in off)
+            out = out + W[k] * jax.lax.dynamic_slice(up, start, u.shape)
+        return out
+
+
+def lattice_weight_map(
+    lattice: Lattice, dofmap: np.ndarray, max_pad: int = 4
+) -> Optional[LatticeWeightMap]:
+    """LatticeWeightMap, or None when the adjacency isn't a compact
+    stencil (periodic wrap-around offsets would need giant pads)."""
+    wm = LatticeWeightMap(lattice, dofmap)
+    if wm.pad == 0 or wm.pad > max_pad:
+        return None
+    return wm
+
+
 class LatticeOperator:
     """Stencil form of a lattice-structured sparse matrix."""
 

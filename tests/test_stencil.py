@@ -58,6 +58,37 @@ def test_detect_lattice_rejects_unstructured():
     assert detect_lattice(space.dof_coords) is None
 
 
+def test_lattice_weight_map_matches_operator():
+    """In-jit scattered per-step weights must reproduce the host-built
+    stencil operator (time-varying operators inside scans)."""
+    import jax
+
+    from pdebench_tpu.fem.assemble import local_advection
+    from pdebench_tpu.solvers.stencil import lattice_weight_map
+
+    mesh = unit_square_mesh(12)
+    space = FunctionSpace(mesh, 1)
+    cb = cell_batch(mesh, 1)
+    # nonsymmetric time-varying-style operator: mass + stiffness + advection
+    beta_q = jnp.stack(
+        [0.7 * jnp.ones_like(cb.wdetJ), -0.3 * jnp.ones_like(cb.wdetJ)],
+        axis=-1,
+    )
+    A = local_mass(cb) + 0.1 * local_stiffness(cb) + local_advection(cb, beta_q)
+    op = LocalOperator(A, space.dofmap_scalar, space.ndof)
+    lat = detect_lattice(space.dof_coords)
+    wmap = lattice_weight_map(lat, space.dofmap_scalar)
+    assert wmap is not None
+
+    W = jax.jit(wmap.weights)(jnp.asarray(A))
+    rng = np.random.default_rng(1)
+    u = rng.standard_normal(space.ndof)
+    u_lat = lat.embed_np(u, 0.0).reshape(wmap.shape)
+    y_lat = np.asarray(wmap.apply_grid(W, jnp.asarray(u_lat))).reshape(-1)
+    y = y_lat[np.asarray(lat.inv)]
+    np.testing.assert_allclose(y, np.asarray(op(jnp.asarray(u))), rtol=1e-12, atol=1e-12)
+
+
 def test_stencil_ir_solve_matches_f64(monkeypatch):
     """End-to-end: forced stencil path must reproduce the standard solve."""
     import os
