@@ -84,10 +84,22 @@ class WaveSolver:
 
         use_ir = _MIXED and method == "cg"
         M32_amg = None
+        lattice32 = None
         import jax as _jax
 
+        if use_ir:
+            # structured (incl. masked rectilinear) meshes: gather-free
+            # stencil + GMG on the constant step matrix
+            A_pre = inv_dt2 * local_mass(cb) + THETA * c2 * local_stiffness(cb)
+            lattice32 = scalar.attach_gmg(
+                scalar.maybe_lattice32(ctx, A_pre),
+                A_pre,
+                space,
+                np.asarray(mask),
+            )
         if (
             use_ir
+            and lattice32 is None
             and ndof >= 20000
             # the COO V-cycle is gather-bound on TPU where plain jacobi
             # bursts win; on CPU the AMG iteration count dominates
@@ -128,7 +140,16 @@ class WaveSolver:
                     x, it, res, conv = solve_constrained_ir(
                         A_sys, A32, dofmap, b, mask, g, ndof, rtol, atol,
                         M32_custom=M32_amg,
-                        inner_iters=12 if M32_amg is not None else 30,
+                        lattice32=lattice32,
+                        inner_iters=(
+                            12
+                            if (
+                                M32_amg is not None
+                                or getattr(lattice32, "gmg", None)
+                                is not None
+                            )
+                            else 30
+                        ),
                     )
                 else:
                     x, it, res, conv = solve_constrained(
