@@ -2,31 +2,45 @@
 
 The XLA formulation of the stencil apply (stencil.py) materializes one
 shifted slice per tap — |taps| reads of the padded field plus |taps|
-multiply-adds, each a separate HBM round trip when XLA doesn't fuse
-them. This kernel performs ALL taps in one pass per row-tile: the
-padded field tile and the weight-plane tile are staged in VMEM once and
-the accumulation runs entirely on the VPU.
+multiply-adds, each potentially a separate HBM round trip. This kernel
+performs ALL taps in one pass per row-tile:
 
     y[r, c] = sum_k W[k, r, c] * u_pad[r + p + dy_k, c + p + dx_k]
 
-Tap offsets are compile-time constants (static slices).
+HBM traffic becomes the roofline minimum — read u once, stream the K
+weight planes once, write y once.
 
-STATUS: interpret-verified; the compiled TPU path currently trips a
-Mosaic restriction ("index in dimension 1 must be a multiple of 8"):
-the dy-shifted row taps cannot be 8-aligned for |dy| < 8 by
-construction, lane-dim pre-shifting (done below) only fixes the x axis,
-and fully pre-shifting both axes reduces the kernel to an elementwise
-FMA whose stack materialization costs more HBM traffic than the fused
-XLA fallback. The production stencil path therefore uses the XLA
-formulation (stencil.py, ~0.4 ms per apply at 194k dofs), which XLA
-fuses well; this kernel documents the fused single-pass design for a
-future Mosaic that supports unaligned sublane reads.
+Mosaic's alignment rules forbid the naive form (dynamic sublane slices
+must be 8-aligned, lane slices 128-aligned; tap offsets are +/-1..4 by
+construction). The workaround: each grid step loads an ALIGNED row
+window of the padded field (row0 = i*tile is tile-aligned), then
+realizes every tap with `pltpu.roll` — a circular VPU shuffle inside
+VMEM, free of alignment constraints and HBM traffic — followed by
+aligned static slices. Taps are grouped by dy so each row shift is
+rolled once and reused across its dx taps.
+
+Scope: 2-D stencils, f32/f64, field small enough to stage in VMEM
+(lattices up to ~600^2 in f32; benchmark meshes are <= 221^2 at P1,
+441^2 at P2). The XLA formulation remains the fallback for 3-D and
+oversized grids.
+
+STATUS (measured on v5e, in-jit loop, best of 3): compiles and matches
+the XLA formulation bit-exactly, but at benchmark lattice sizes both
+forms are LATENCY-bound, not HBM-bound — 221^2 K=9: pallas 598 us vs
+XLA 320 us; 513^2 K=9: 640 vs 361 us (XLA per-apply time barely grows
+with 5x the data). The per-tap VPU rolls cost more than XLA's fused
+dynamic-slice FMA chain at sizes where the whole field fits in cache,
+so the production stencil path keeps the XLA formulation
+(stencil.py). This kernel is the building block for a future
+fully-fused smoother/V-cycle kernel, where amortizing launch overhead
+across a whole multigrid level — not single-apply bandwidth — is the
+actual win.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import List, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,19 +54,32 @@ except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
 
-def _kernel(u_ref, w_ref, out_ref, *, taps, pad, tile, nx):
-    # u_ref: (D, ny_tot, nx) lane-aligned pre-shifted stacks; taps maps
-    # stencil index k -> (dx_index, dy)
-    row0 = pl.program_id(0) * tile
-    acc = jnp.zeros((tile, nx), dtype=out_ref.dtype)
-    for k, (dxi, dy) in enumerate(taps):
-        tap = u_ref[dxi, pl.ds(row0 + pad + dy, tile), :]
-        acc = acc + w_ref[k] * tap
-    out_ref[:, :] = acc
-
-
 def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
+
+
+def _kernel(u_ref, w_ref, out_ref, *, groups, pad, tile, nx, wrows):
+    i = pl.program_id(0)
+    window = u_ref[pl.ds(i * tile, wrows), :]  # aligned: tile % 8 == 0
+    acc = jnp.zeros(out_ref.shape, out_ref.dtype)
+    for dy, dx_taps in groups:
+        # one sublane roll per distinct dy, reused across its dx taps
+        # (pltpu.roll wants non-negative shifts: -off == size - off)
+        sh_y = (-(pad + dy)) % wrows
+        wdy = (
+            pltpu.roll(window, jnp.int32(sh_y), axis=0)
+            if sh_y
+            else window
+        )
+        for k, dx in dx_taps:
+            sh_x = (-(pad + dx)) % u_ref.shape[1]
+            tap = (
+                pltpu.roll(wdy, jnp.int32(sh_x), axis=1)
+                if sh_x
+                else wdy
+            )[:tile]
+            acc = acc + w_ref[k] * tap
+    out_ref[:, :] = acc
 
 
 @functools.partial(
@@ -61,46 +88,65 @@ def _round_up(v: int, m: int) -> int:
 def stencil_apply_2d(
     u_pad: jnp.ndarray,  # (ny + 2 pad, nx + 2 pad)
     W: jnp.ndarray,  # (K, ny, nx)
-    offsets: Tuple[Tuple[int, int], ...],
+    offsets: Tuple[Tuple[int, int], ...],  # (dy, dx) per tap
     pad: int,
     tile: int = 128,
     interpret: bool = False,
 ):
     """Fused stencil apply; returns (ny, nx)."""
     K, ny, nx = W.shape
-    n_tiles = -(-ny // tile)  # ceil
-    ny_pad = n_tiles * tile
-    # over-pad rows so the last tile's halo window stays in bounds
-    extra = (ny_pad + 2 * pad) - (ny + 2 * pad)
-    if extra > 0:
-        u_pad = jnp.pad(u_pad, ((0, extra), (0, 0)))
-    if ny_pad != ny:
-        W = jnp.pad(W, ((0, 0), (0, ny_pad - ny), (0, 0)))
+    # shrink the row tile until the double-buffered weight block plus
+    # the VMEM-resident field fit the ~16M scoped vmem budget
+    nxp0 = _round_up(nx + 2 * pad, 128)
+    itemsize = jnp.dtype(W.dtype).itemsize
+    field_bytes = (ny + 2 * pad + tile) * nxp0 * itemsize
+    while tile > 8 and (
+        2 * (K + 1) * tile * nxp0 * itemsize + field_bytes > 12_000_000
+    ):
+        tile //= 2
+    n_tiles = -(-ny // tile)
+    ny_tiles = n_tiles * tile
+    wrows = _round_up(tile + 2 * pad, 8)
+    nxp = _round_up(nx + 2 * pad, 128)
 
-    # pre-shift the lane (x) dimension OUTSIDE the kernel: Mosaic wants
-    # lane slices aligned, so each distinct dx becomes its own
-    # lane-aligned stack and in-kernel taps slice rows only
-    dxs = sorted({dx for _, dx in offsets})
-    dx_index = {dx: i for i, dx in enumerate(dxs)}
-    u_shift = jnp.stack(
-        [u_pad[:, pad + dx : pad + dx + nx] for dx in dxs], axis=0
-    )  # (D, ny_tot, nx)
-    taps = tuple((dx_index[dx], dy) for dy, dx in offsets)
-    D, nrow_tot, _ = u_shift.shape
+    # rows: last tile's window must stay in bounds; lanes: pad to the
+    # lane width (the roll wraps garbage into lanes >= nx, sliced off)
+    u2 = jnp.pad(
+        u_pad,
+        (
+            (0, ny_tiles + wrows - u_pad.shape[0]),
+            (0, nxp - u_pad.shape[1]),
+        ),
+    )
+    W2 = jnp.pad(W, ((0, 0), (0, ny_tiles - ny), (0, nxp - nx)))
+
+    # group taps by dy: one row roll per distinct dy
+    by_dy = {}
+    for k, (dy, dx) in enumerate(offsets):
+        by_dy.setdefault(dy, []).append((k, dx))
+    groups = tuple(
+        (dy, tuple(taps)) for dy, taps in sorted(by_dy.items())
+    )
 
     out = pl.pallas_call(
         functools.partial(
-            _kernel, taps=taps, pad=pad, tile=tile, nx=nx
+            _kernel, groups=groups, pad=pad, tile=tile, nx=nx,
+            wrows=wrows,
         ),
         grid=(n_tiles,),
         in_specs=[
-            # shifted stacks stay VMEM-resident across the whole grid;
-            # the kernel row-slices its halo window dynamically
-            pl.BlockSpec((D, nrow_tot, nx), lambda i: (0, 0, 0)),
-            pl.BlockSpec((K, tile, nx), lambda i: (0, i, 0)),
+            # the whole padded field stays VMEM-resident across grid
+            # steps; each step slices its aligned halo window
+            # (int32 indices: Mosaic rejects x64-promoted i64 maps)
+            pl.BlockSpec(
+                u2.shape, lambda i: (jnp.int32(0), jnp.int32(0))
+            ),
+            pl.BlockSpec(
+                (K, tile, nxp), lambda i: (jnp.int32(0), i, jnp.int32(0))
+            ),
         ],
-        out_specs=pl.BlockSpec((tile, nx), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((ny_pad, nx), W.dtype),
+        out_specs=pl.BlockSpec((tile, nxp), lambda i: (i, jnp.int32(0))),
+        out_shape=jax.ShapeDtypeStruct((ny_tiles, nxp), W.dtype),
         interpret=interpret,
-    )(u_shift, W)
-    return out[:ny]
+    )(u2, W2)
+    return out[:ny, :nx]
