@@ -117,8 +117,9 @@ def maybe_lattice32(ctx: ScalarContext, A_local) -> Optional[object]:
     (structured unit_square/unit_cube meshes); None otherwise.
 
     2-D lattices are enabled everywhere (the stencil-GMG V-cycle beats
-    every other path on both CPU and TPU); 3-D lattices (no GMG yet)
-    only pay off on TPU where gathers are the bottleneck. Override with
+    every other path on both CPU and TPU); 3-D lattices (dimension-
+    generic GMG attaches via attach_gmg) only pay off on TPU where
+    gathers are the bottleneck. Override with
     PDEBENCH_TPU_FORCE_STENCIL=1/0.
     """
     import os
