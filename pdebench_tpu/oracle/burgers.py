@@ -107,6 +107,12 @@ class BurgersSolver:
                     )
                 if wmap is None:
                     lattice32 = None
+        apply_M = None
+        if lattice32 is not None:
+            appl = scalar.stencil_appliers64(
+                lattice32, space.dofmap_scalar, local_mass(cb)
+            )
+            apply_M = appl[0] if appl else None
 
         @jax.jit
         def run_scan(M, K, u0_arr):
@@ -116,7 +122,12 @@ class BurgersSolver:
                 un_q = jnp.einsum("qi,ci->cq", phi, u_n[dofmap])
                 beta_q = jnp.repeat(un_q[..., None], dim, axis=-1)
                 A = inv_dt * M + local_advection(cb, beta_q) + nu * K
-                b = inv_dt * _apply_local(M, dofmap, ndof, u_n) + ctx.load_vector(
+                Mu = (
+                    apply_M(u_n)
+                    if apply_M is not None
+                    else _apply_local(M, dofmap, ndof, u_n)
+                )
+                b = inv_dt * Mu + ctx.load_vector(
                     f_fn(qpts, t_next)
                 )
                 g = g_fn(t_next)

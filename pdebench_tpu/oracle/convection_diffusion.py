@@ -163,13 +163,23 @@ class ConvectionDiffusionSolver:
                     np.asarray(mask),
                 )
 
+            apply_M = None
+            if lattice32 is not None:
+                appl = scalar.stencil_appliers64(
+                    lattice32, space.dofmap_scalar, local_mass(cb)
+                )
+                apply_M = appl[0] if appl else None
+
             @jax.jit
             def run_scan(A_sys, M, u0_arr):
                 A32 = A_sys.astype(jnp.float32) if _MIXED else None
+                M_ap = apply_M or (
+                    lambda v: _apply_local(M, dofmap, ndof, v)
+                )
 
                 def step(u_n, t_next):
                     f_q = f_fn(qpts, t_next)
-                    b = _apply_local(M, dofmap, ndof, u_n) + dt * load(f_q)
+                    b = M_ap(u_n) + dt * load(f_q)
                     g = g_fn(t_next)
                     if _MIXED:
                         x, it, res, conv = solve_constrained_ir(

@@ -89,6 +89,12 @@ class HeatSolver:
                 space,
                 np.asarray(mask),
             )
+        apply_M = None
+        if lattice32 is not None:
+            appl = scalar.stencil_appliers64(
+                lattice32, space.dofmap_scalar, local_mass(cb)
+            )
+            apply_M = appl[0] if appl else None
 
         @jax.jit
         def run_scan(A_sys, M, u0_arr):
@@ -96,7 +102,12 @@ class HeatSolver:
 
             def step(u_n, t_next):
                 f_q = f_fn(qpts, t_next)
-                b = _apply_local(M, dofmap, ndof, u_n) + dt * ctx.load_vector(f_q)
+                Mu = (
+                    apply_M(u_n)
+                    if apply_M is not None
+                    else _apply_local(M, dofmap, ndof, u_n)
+                )
+                b = Mu + dt * ctx.load_vector(f_q)
                 g = g_fn(t_next)
                 if use_ir:
                     # f32 inner iterations, f64 outer correction — the

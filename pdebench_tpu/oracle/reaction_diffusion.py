@@ -156,15 +156,26 @@ class ReactionDiffusionSolver:
         def load(v_q):
             return scatter_add(local_load(cb, v_q), dofmap, ndof)
 
+        apply_M = apply_K = None
+        if lattice32 is not None:
+            appl = scalar.stencil_appliers64(
+                lattice32, space.dofmap_scalar,
+                local_mass(cb), local_stiffness(cb),
+            )
+            if appl:
+                apply_M, apply_K = appl
+
         @jax.jit
         def run_scan(M, K, u0_arr):
             inv_dt = 1.0 / dt
+            M_ap = apply_M or (lambda v: _apply_local(M, dofmap, ndof, v))
+            K_ap = apply_K or (lambda v: _apply_local(K, dofmap, ndof, v))
 
             def residual(u, u_n, b_f):
                 r_q = R_fn(u_at_q(u))
                 G = (
-                    inv_dt * _apply_local(M, dofmap, ndof, u - u_n)
-                    + epsilon * _apply_local(K, dofmap, ndof, u)
+                    inv_dt * M_ap(u - u_n)
+                    + epsilon * K_ap(u)
                     + load(r_q)
                     - b_f
                 )
@@ -178,7 +189,7 @@ class ReactionDiffusionSolver:
                 if not nonlinear:
                     rp = Rp_fn(jnp.zeros(()))  # constant alpha
                     A = inv_dt * M + epsilon * K + rp * local_mass(cb)
-                    b = inv_dt * _apply_local(M, dofmap, ndof, u_n) + b_f
+                    b = inv_dt * M_ap(u_n) + b_f
                     if _MIXED:
                         x, it, res, conv = solve_constrained_ir(
                             A, A.astype(jnp.float32), dofmap, b, mask, g,

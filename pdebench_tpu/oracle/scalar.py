@@ -149,6 +149,38 @@ def maybe_lattice32(ctx: ScalarContext, A_local) -> Optional[object]:
         return None
 
 
+def stencil_appliers64(lat32, dofmap, *A_locals):
+    """Gather-free f64 dof-order appliers for cell-local operators
+    sharing lat32's lattice, or None.
+
+    Scan bodies apply constant mass/stiffness matrices to the carry
+    every step (rhs assembly, nonlinear residuals); the cell-based
+    gather/scatter einsum costs ~20x a stencil apply in (emulated) f64
+    on TPU. Returns one fn(v_dof) -> A v per A_local, all sharing a
+    single offset map.
+    """
+    if lat32 is None:
+        return None
+    from ..solvers.stencil import lattice_weight_map
+
+    wmap = lattice_weight_map(lat32.lattice, np.asarray(dofmap))
+    if wmap is None:
+        return None
+    lattice = lat32.lattice
+    inv = jnp.asarray(lattice.inv, dtype=jnp.int32)
+
+    def make(A_local):
+        W64 = jnp.asarray(wmap.weights_np(np.asarray(A_local)))
+
+        def apply64(v):
+            v_lat = lattice.embed(v, 0.0).reshape(wmap.shape)
+            return wmap.apply_grid(W64, v_lat).reshape(-1)[inv]
+
+        return apply64
+
+    return [make(a) for a in A_locals]
+
+
 def attach_gmg(lat32, A_local, space, mask_np) -> object:
     """Attach a stencil-GMG hierarchy (constrained weights derived
     directly from the operator's stencil) to a lattice operator; no-op

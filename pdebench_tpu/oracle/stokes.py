@@ -119,13 +119,23 @@ class StokesSolver:
                     A_loc, G_loc, dofmap_u, dofmap_p, V.ndof, Q.ndof
                 )
                 A = constrained_operator(apply_raw, mask)
+                # f32 saddle twin: the Lanczos recurrence runs MINRES-IR
+                # at native f32 speed (v5e emulates f64); true-residual
+                # restarts recover rtol 1e-10
+                apply32 = mixed.saddle_apply(
+                    A_loc.astype(jnp.float32),
+                    G_loc.astype(jnp.float32),
+                    dofmap_u, dofmap_p, V.ndof, Q.ndof,
+                )
+                A32 = constrained_operator(apply32, mask)
                 rhs = constrained_rhs(apply_raw, b, mask, g)
                 x0 = jnp.where(mask, g, 0.0)
                 # capped: a saddle MINRES that hasn't converged by 5000
                 # preconditioned iterations won't; the host LU fallback
                 # is faster than grinding to 30k
                 return minres(
-                    A, rhs, x0=x0, M=M, rtol=rtol, atol=atol, maxiter=5000
+                    A, rhs, x0=x0, M=M, rtol=rtol, atol=atol,
+                    maxiter=5000, A32=A32,
                 )
 
         def run():

@@ -122,17 +122,28 @@ class WaveSolver:
             except Exception:
                 M32_amg = None
 
+        apply_M = apply_K = None
+        if lattice32 is not None:
+            appl = scalar.stencil_appliers64(
+                lattice32, space.dofmap_scalar,
+                local_mass(cb), local_stiffness(cb),
+            )
+            if appl:
+                apply_M, apply_K = appl
+
         @jax.jit
         def run_scan(A_sys, M, K, u0_arr, um1_arr):
             A32 = A_sys.astype(jnp.float32) if use_ir else None
+            M_ap = apply_M or (lambda v: _apply_local(M, dofmap, ndof, v))
+            K_ap = apply_K or (lambda v: _apply_local(K, dofmap, ndof, v))
 
             def step(carry, t_n):
                 u_n, u_nm1 = carry
                 f_q = f_fn(qpts, t_n)
                 b = (
-                    inv_dt2 * _apply_local(M, dofmap, ndof, 2.0 * u_n - u_nm1)
-                    - (1.0 - 2.0 * THETA) * c2 * _apply_local(K, dofmap, ndof, u_n)
-                    - THETA * c2 * _apply_local(K, dofmap, ndof, u_nm1)
+                    inv_dt2 * M_ap(2.0 * u_n - u_nm1)
+                    - (1.0 - 2.0 * THETA) * c2 * K_ap(u_n)
+                    - THETA * c2 * K_ap(u_nm1)
                     + ctx.load_vector(f_q)
                 )
                 g = g_fn(t_n + dt)

@@ -126,6 +126,19 @@ def solve_constrained_ir(
     from .krylov import jacobi_preconditioner, refined_solve
 
     raw64 = lambda v: _apply_local(A_local, dofmap, ndof, v)
+    if lattice32 is not None and step_weights is None:
+        # gather-free f64 outer residual: the cell-based gather/scatter
+        # apply is ~20x slower than the f64 stencil on TPU
+        W64 = getattr(lattice32, "W_f64", None)
+        if W64 is not None:
+            _emb, _inv = lattice32.embedding, lattice32.inv_j
+            _gs = lattice32.grid_shape
+
+            def raw64(v):
+                v_lat = _emb.embed(v, 0.0).reshape(_gs)
+                y = lattice32.apply_grid_w(W64, v_lat)
+                return y.reshape(-1)[_inv]
+
     A64 = constrained_operator(raw64, mask)
     rhs = constrained_rhs(raw64, b, mask, g)
     x0 = jnp.where(mask, g, 0.0)

@@ -217,6 +217,7 @@ def minres(
     atol: float = 1e-14,
     maxiter: int = 10000,
     restarts: int = 4,
+    A32: Optional[Callable] = None,
 ):
     """Preconditioned MINRES for symmetric (possibly indefinite) systems.
 
@@ -230,40 +231,45 @@ def minres(
     lower precision (f32 V-cycles), so a run can exit early believing it
     converged. Up to `restarts` outer restarts re-seed the Lanczos
     recurrence from the true f64 residual until it actually meets tol.
+
+    With `A32` (an f32 twin of A), each restart's Lanczos recurrence
+    solves the correction equation entirely in f32 — MINRES-IR. On v5e
+    (emulated f64) the per-iteration applies then run at native f32
+    speed and the restarts recover f64 accuracy.
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
     if M is None:
         M = lambda r: r
-    eps = jnp.asarray(1e-300, dtype=b.dtype)
     tiny = jnp.asarray(1e-300, dtype=jnp.float64)
+    restarts = max(restarts, 8) if A32 is not None else restarts
 
-    def run(x):
-        r1_ = b - A(x)
-        rnorm0 = jnp.linalg.norm(r1_)
-        y_ = M(r1_)
-        beta1_ = jnp.sqrt(jnp.maximum(jnp.vdot(r1_, y_), 0.0))
-        # inner target: the relative 2-norm reduction still needed,
-        # mapped into the preconditioned norm phibar tracks — so each
-        # restart keeps iterating until it closes (its share of) the gap
-        tol = beta1_ * jnp.minimum(
-            1.0, tol_true / jnp.maximum(rnorm0, tiny)
-        )
+    def run0(r, factor):
+        """Lanczos from zero on the correction system A d = r, in
+        r.dtype; stops when phibar has dropped by `factor`."""
+        dt_ = r.dtype
+        _A_raw = A32 if A32 is not None else A
+        A_in = lambda v: _A_raw(v).astype(dt_)
+        M_in = lambda v: M(v).astype(dt_)
+        eps = jnp.asarray(1e-300 if dt_ == jnp.float64 else 1e-30, dt_)
+        y_ = M_in(r)
+        beta1_ = jnp.sqrt(jnp.maximum(jnp.vdot(r, y_), 0.0))
+        tol = beta1_ * factor.astype(dt_)
 
         init = dict(
-            x=x,
-            r1=r1_,
-            r2=r1_,
+            x=jnp.zeros_like(r),
+            r1=r,
+            r2=r,
             y=y_,
-            w=jnp.zeros_like(b),
-            w2=jnp.zeros_like(b),
-            oldb=jnp.asarray(0.0, b.dtype),
+            w=jnp.zeros_like(r),
+            w2=jnp.zeros_like(r),
+            oldb=jnp.asarray(0.0, dt_),
             beta=beta1_,
-            dbar=jnp.asarray(0.0, b.dtype),
-            epsln=jnp.asarray(0.0, b.dtype),
+            dbar=jnp.asarray(0.0, dt_),
+            epsln=jnp.asarray(0.0, dt_),
             phibar=beta1_,
-            cs=jnp.asarray(-1.0, b.dtype),
-            sn=jnp.asarray(0.0, b.dtype),
+            cs=jnp.asarray(-1.0, dt_),
+            sn=jnp.asarray(0.0, dt_),
             k=jnp.asarray(0, jnp.int32),
         )
 
@@ -273,14 +279,14 @@ def minres(
         def body_fn(s):
             beta = s["beta"]
             v = s["y"] / jnp.where(beta < eps, eps, beta)
-            yv = A(v)
+            yv = A_in(v)
             yv = yv - jnp.where(
                 s["k"] >= 1, beta / jnp.where(s["oldb"] < eps, eps, s["oldb"]), 0.0
             ) * s["r1"]
             alfa = jnp.vdot(v, yv)
             yv = yv - (alfa / jnp.where(beta < eps, eps, beta)) * s["r2"]
             r1n, r2n = s["r2"], yv
-            yn = M(yv)
+            yn = M_in(yv)
             oldb = beta
             betan = jnp.sqrt(jnp.maximum(jnp.vdot(yv, yn), 0.0))
 
@@ -312,6 +318,8 @@ def minres(
         return out["x"], out["k"]
 
     tol_true = jnp.linalg.norm(b) * rtol + atol
+    # the f32 recurrence can't close more than ~6 digits per restart
+    floor = 3e-7 if A32 is not None else 0.0
 
     def outer_cond(s):
         return jnp.logical_and(
@@ -320,24 +328,37 @@ def minres(
         )
 
     def outer_body(s):
-        x, k = run(s["x"])
-        res = jnp.linalg.norm(b - A(x))
+        # relative reduction still needed, mapped into phibar's norm
+        factor = jnp.maximum(
+            jnp.minimum(1.0, tol_true / jnp.maximum(s["res"], tiny)),
+            floor,
+        )
+        if A32 is not None:
+            d, k = run0(s["r"].astype(jnp.float32), factor)
+            d = d.astype(b.dtype)
+        else:
+            d, k = run0(s["r"], factor)
+        x = s["x"] + d
+        r_new = b - A(x)
+        res = jnp.linalg.norm(r_new)
         # keep the best iterate: a stagnated restart must not regress
         better = res < s["res"]
         return dict(
             x=jnp.where(better, x, s["x"]),
+            r=jnp.where(better, r_new, s["r"]),
             res=jnp.where(better, res, s["res"]),
             total=s["total"] + k,
             rs=s["rs"] + 1,
         )
 
-    init_res = jnp.linalg.norm(b - A(x0))
+    r0 = b - A(x0)
     out = jax.lax.while_loop(
         outer_cond,
         outer_body,
         dict(
             x=x0,
-            res=init_res,
+            r=r0,
+            res=jnp.linalg.norm(r0),
             total=jnp.asarray(0, jnp.int32),
             rs=jnp.asarray(0, jnp.int32),
         ),

@@ -160,13 +160,24 @@ class LatticeWeightMap:
         self.shape = shape
         rows = np.broadcast_to(site[:, :, None], d.shape[:3])
         flat = o_idx.reshape(rows.shape) * n_lat + rows
-        self._flat = jnp.asarray(flat.reshape(-1), dtype=jnp.int32)
+        self._flat_np = flat.reshape(-1)
+        self._flat = jnp.asarray(self._flat_np, dtype=jnp.int32)
         self._n = len(self.offsets) * n_lat
 
     def weights(self, A_local: jnp.ndarray) -> jnp.ndarray:
         """(c, nl, nl) local batch -> (K,) + shape stencil weights."""
         W = jnp.zeros(self._n, A_local.dtype).at[self._flat].add(
             A_local.reshape(-1)
+        )
+        return W.reshape((len(self.offsets),) + self.shape)
+
+    def weights_np(self, A_local_np: np.ndarray) -> np.ndarray:
+        """Host-side weights build (setup paths: avoids eager device
+        scatter ops, which compile remotely on the axon platform)."""
+        W = np.bincount(
+            self._flat_np,
+            weights=np.asarray(A_local_np, dtype=np.float64).reshape(-1),
+            minlength=self._n,
         )
         return W.reshape((len(self.offsets),) + self.shape)
 
@@ -223,6 +234,12 @@ class LatticeOperator:
             flat, weights=coo.data, minlength=len(offs) * n_lat
         ).reshape((len(offs),) + shape)
         self.W = jnp.asarray(W).astype(dtype)
+        # keep the f64 weights: mixed-precision refinement needs an
+        # EXACT f64 outer operator, and the cell-based gather/scatter
+        # apply is ~20x slower than this stencil on TPU
+        self.W_f64 = (
+            self.W if dtype == jnp.float64 else jnp.asarray(W)
+        )
         self.dtype = dtype
         self.perm_j = jnp.asarray(lattice.perm, dtype=jnp.int32)
         self.inv_j = jnp.asarray(lattice.inv, dtype=jnp.int32)
@@ -244,13 +261,17 @@ class LatticeOperator:
 
     def apply_grid(self, u: jnp.ndarray) -> jnp.ndarray:
         """Stencil apply on the lattice-shaped array."""
+        return self.apply_grid_w(self.W, u)
+
+    def apply_grid_w(self, W: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+        """Stencil apply with explicit weights (e.g. W_f64)."""
         pad = self.pad
         shape = self.shape
         up = jnp.pad(u, pad)
         out = jnp.zeros_like(u)
         for k, off in enumerate(self.offsets):
             start = tuple(pad + o for o in off)
-            out = out + self.W[k] * jax.lax.dynamic_slice(up, start, shape)
+            out = out + W[k] * jax.lax.dynamic_slice(up, start, shape)
         return out
 
     def __call__(self, u_flat: jnp.ndarray) -> jnp.ndarray:
@@ -311,6 +332,10 @@ class BlockLatticeOperator:
             flat, weights=coo.data, minlength=len(offs) * n_lat * d * d
         ).reshape((len(offs),) + shape + (d, d))
         self.W = jnp.asarray(W).astype(dtype)
+        # exact f64 weights for the refinement outer (see LatticeOperator)
+        self.W_f64 = (
+            self.W if dtype == jnp.float64 else jnp.asarray(W)
+        )
         self.shape = shape
         self.dtype = dtype
         # dof <-> (lattice-major, component-minor) block-level injection
@@ -349,6 +374,9 @@ class BlockLatticeOperator:
 
     def apply_grid(self, u: jnp.ndarray) -> jnp.ndarray:
         """u: (..., d) lattice-shaped; returns same shape."""
+        return self.apply_grid_w(self.W, u)
+
+    def apply_grid_w(self, W: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
         pad_widths = [(self.pad, self.pad)] * len(self.shape) + [(0, 0)]
         up = jnp.pad(u, pad_widths)
         out = jnp.zeros_like(u)
@@ -357,7 +385,7 @@ class BlockLatticeOperator:
             tap = jax.lax.dynamic_slice(
                 up, start, self.shape + (self.ncomp,)
             )
-            out = out + jnp.einsum("...ab,...b->...a", self.W[k], tap)
+            out = out + jnp.einsum("...ab,...b->...a", W[k], tap)
         return out
 
     def __call__(self, u_flat: jnp.ndarray) -> jnp.ndarray:

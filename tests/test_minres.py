@@ -53,6 +53,25 @@ def test_minres_restarts_through_f32_preconditioner():
     )
 
 
+def test_minres_ir_f32_inner_reaches_f64_accuracy():
+    """A32 mode: the recurrence runs in f32 (native v5e speed) and the
+    f64 restarts must still reach rtol 1e-10."""
+    A, b, q, eigs = _spd_system(cond=1e5, seed=2)
+    A32 = jnp.asarray(np.asarray(A), dtype=jnp.float32)
+    x, info = minres(
+        lambda v: A @ v,
+        b,
+        A32=lambda v: A32 @ v,
+        rtol=1e-10,
+        maxiter=20000,
+    )
+    r = np.linalg.norm(np.asarray(b - A @ x))
+    assert r <= 1e-10 * np.linalg.norm(np.asarray(b)) + 1e-12, (
+        float(r),
+        int(info.iterations),
+    )
+
+
 def test_minres_indefinite_system():
     """MINRES handles symmetric indefinite (saddle-like) systems."""
     rng = np.random.default_rng(3)
