@@ -128,13 +128,17 @@ def solve_constrained_ir(
     raw64 = lambda v: _apply_local(A_local, dofmap, ndof, v)
     if lattice32 is not None and step_weights is None:
         # gather-free f64 outer residual: the cell-based gather/scatter
-        # apply is ~20x slower than the f64 stencil on TPU
+        # apply is ~20x slower than the f64 stencil on TPU. Only for
+        # CONSTANT operators (retained W_f64): scattering per-step f64
+        # weights in-jit was measured SLOWER than the cell apply it
+        # replaces (f64 scatter of c*nl^2 values), so per-step systems
+        # keep the cell-based outer.
         W64 = getattr(lattice32, "W_f64", None)
         if W64 is not None:
             _emb, _inv = lattice32.embedding, lattice32.inv_j
             _gs = lattice32.grid_shape
 
-            def raw64(v):
+            def raw64(v, W64=W64):
                 v_lat = _emb.embed(v, 0.0).reshape(_gs)
                 y = lattice32.apply_grid_w(W64, v_lat)
                 return y.reshape(-1)[_inv]

@@ -89,6 +89,36 @@ def test_lattice_weight_map_matches_operator():
     np.testing.assert_allclose(y, np.asarray(op(jnp.asarray(u))), rtol=1e-12, atol=1e-12)
 
 
+def test_burgers_step_weights_match_cell_path(monkeypatch):
+    """Per-step stencil weights (lagged convection) must reproduce the
+    cell-based scan end-to-end."""
+    from pdebench_tpu.oracle import OracleSolver
+
+    cfg = {
+        "pde": {
+            "type": "burgers",
+            "pde_params": {"nu": 0.05},
+            "manufactured_solution": {
+                "u": "exp(-t)*sin(pi*x)*sin(pi*y)"
+            },
+            "time": {"t0": 0.0, "t_end": 0.05, "dt": 0.01},
+        },
+        "domain": {"type": "unit_square"},
+        # resolution high enough that GMG attaches (ndof >= 5000) and
+        # the per-step stencil path actually engages
+        "mesh": {"resolution": 72},
+        "fem": {"degree": 1},
+        "bc": {"dirichlet": {"on": "all", "value": "0"}},
+        "output": {"grid": {"bbox": [0, 1, 0, 1], "nx": 30, "ny": 30}},
+    }
+    monkeypatch.setenv("PDEBENCH_TPU_FORCE_STENCIL", "1")
+    r1 = OracleSolver().solve(cfg)
+    monkeypatch.setenv("PDEBENCH_TPU_FORCE_STENCIL", "0")
+    r2 = OracleSolver().solve(cfg)
+    np.testing.assert_allclose(r1.reference, r2.reference, atol=2e-8)
+    assert abs(r1.baseline_error - r2.baseline_error) < 1e-7
+
+
 def test_stencil_ir_solve_matches_f64(monkeypatch):
     """End-to-end: forced stencil path must reproduce the standard solve."""
     import os
