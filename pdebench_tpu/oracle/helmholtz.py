@@ -44,13 +44,24 @@ class HelmholtzSolver:
         f_fn = symbolic.lambdify_spatial(src, dim)
         opts = base.solver_opts(config)
 
+        # robustness override (role parity with the reference's own
+        # Helmholtz overrides, dealii_oracle/oracle.py:503-529):
+        # shifted-GMG/AMG iteration counts blow up with k — measured
+        # 19-68 s vs 1-2 s direct at k>=18 — and a k=20/res 200 solve
+        # reproducibly faults the TPU runtime. Host LU is both faster
+        # and safe at dataset sizes (<=300^2 P1/P2).
+        high_k_direct = dim == 2 and k >= 16.0
+        if high_k_direct:
+            opts = dict(opts, ksp_type="preonly", pc_type="lu")
+
         # one-time solver options (holds the jit/preconditioner cache —
         # must be shared by the cold and warm timed passes)
         run_opts = dict(opts)
-        run_opts["_lattice32"] = scalar.maybe_lattice32(
-            ctx, local_stiffness(ctx.cb) - k2 * local_mass(ctx.cb)
-        )
-        if ctx.space.ndof >= 8000:
+        if not high_k_direct:
+            run_opts["_lattice32"] = scalar.maybe_lattice32(
+                ctx, local_stiffness(ctx.cb) - k2 * local_mass(ctx.cb)
+            )
+        if not high_k_direct and ctx.space.ndof >= 8000:
             # precondition the indefinite operator with AMG built on
             # the SHIFTED Laplacian K + k^2 M (standard shifted-
             # Laplacian trick; AMG on K - k^2 M itself diverges)
