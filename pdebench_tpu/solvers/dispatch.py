@@ -154,12 +154,33 @@ def solve_constrained_ir(
         mask_lat = emb.embed(mask, True)
         gshape = lattice32.grid_shape
         gmg = getattr(lattice32, "gmg", None)
+        inner_custom = None
         if gmg is not None:
             # stencil-GMG V-cycle: entirely shifted multiply-adds
             vcyc = gmg.precond()
 
             def M32(r_lat):
                 return vcyc(r_lat.reshape(gshape)).reshape(-1)
+
+            # on TPU, the whole GMG-PCG inner solve runs as ONE fused
+            # Pallas kernel with every level VMEM-resident (~8x the XLA
+            # op-by-op inner at benchmark sizes); scope-gated inside the
+            # builder, silent fallback to the standard path
+            if inner == "cg" and step_weights is None:
+                try:
+                    import jax as _jax
+
+                    if (
+                        _jax.devices()[0].platform in ("tpu", "axon")
+                        and type(gmg).__name__ == "LatticeGMG"
+                    ):
+                        from .gmg_fused import build_fused_inner_cg
+
+                        inner_custom = build_fused_inner_cg(
+                            gmg, inner_iters
+                        )
+                except Exception:
+                    inner_custom = None
 
         else:
             diag_lat = emb.embed(
@@ -193,6 +214,7 @@ def solve_constrained_ir(
             inner_fwd=lambda r: emb.embed(r, 0.0),
             inner_bwd=lambda z: z[inv],
             inner=inner,
+            inner_custom=inner_custom,
         )
         return x, info.iterations, info.residual, info.converged
 

@@ -381,8 +381,13 @@ def refined_solve(
     inner_fwd: Optional[Callable] = None,
     inner_bwd: Optional[Callable] = None,
     inner: str = "cg",
+    inner_custom: Optional[Callable] = None,
 ):
     """Mixed-precision iterative refinement: f32 inner Krylov, f64 outer.
+
+    inner_custom: full replacement for the inner solver (e.g. the fused
+    Pallas GMG-CG kernel, solvers/gmg_fused.py); receives/returns the
+    inner_fwd-space f32 vector.
 
     inner: "cg" (SPD) or "gmres" (one m-step Arnoldi cycle per outer —
     the outer refinement IS the restart, i.e. FGMRES-IR; right for
@@ -466,7 +471,10 @@ def refined_solve(
         y = jax.scipy.linalg.solve_triangular(Rsafe, rhs_ls, lower=False)
         return V[:m].T @ y
 
-    inner_solve = inner_cg if inner == "cg" else inner_gmres
+    if inner_custom is not None:
+        inner_solve = inner_custom
+    else:
+        inner_solve = inner_cg if inner == "cg" else inner_gmres
 
     def cond(state):
         x, r, k, rn_prev, stag = state
