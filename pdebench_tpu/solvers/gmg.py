@@ -427,6 +427,24 @@ def _block_level_from_np(W, offsets, shape, d, dtype) -> BlockGMGLevel:
     )
 
 
+def _dense_coarse_inv(A: np.ndarray) -> np.ndarray:
+    """Dense coarse-level inverse. LU-based inv (the constrained coarse
+    operator is nonsingular); SVD pinv only as the singular fallback —
+    pinv's SVD is O(n^3) with a huge constant and hung for hours on a
+    non-halvable 18k-dof coarse level (res-190 elasticity)."""
+    if A.shape[0] > 4000:
+        # a coarse level this size means halving stopped early; the
+        # V-cycle would be dominated by the dense solve anyway — make
+        # the caller fall back to AMG/Jacobi paths
+        raise ValueError(
+            f"coarse level too large for dense inverse: {A.shape[0]}"
+        )
+    try:
+        return np.linalg.inv(A)
+    except np.linalg.LinAlgError:
+        return np.linalg.pinv(A)
+
+
 def setup_block_gmg(
     W: np.ndarray,
     offsets,
@@ -458,7 +476,7 @@ def setup_block_gmg(
         e = np.zeros(shape_cur + (d,))
         e.reshape(-1)[j] = 1.0
         A[:, j] = _apply_block_np(W_cur, offs_cur, e).reshape(-1)
-    coarse_inv = jnp.asarray(np.linalg.pinv(A)).astype(dtype)
+    coarse_inv = jnp.asarray(_dense_coarse_inv(A)).astype(dtype)
     return BlockLatticeGMG(
         levels=levels,
         coarse_inv=coarse_inv,
@@ -569,7 +587,7 @@ def setup_gmg(
         e = np.zeros(shape_cur)
         e.flat[j] = 1.0
         A[:, j] = _apply_stencil_np(W_cur, offs_cur, e).reshape(-1)
-    coarse_inv = jnp.asarray(np.linalg.pinv(A)).astype(dtype)
+    coarse_inv = jnp.asarray(_dense_coarse_inv(A)).astype(dtype)
     return LatticeGMG(
         levels=levels, coarse_inv=coarse_inv, coarse_shape=shape_cur
     )
