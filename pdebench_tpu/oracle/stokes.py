@@ -179,15 +179,27 @@ class StokesSolver:
             if err is None and "reference_config" in config:
                 ref_cfg = scalar.merge_reference_config(config)
                 # robustness cap mirroring the reference's own Stokes
-                # override (dealii_oracle/oracle.py:411-423: reference
-                # re-solves forced direct and capped at resolution 128):
-                # unbounded P3-P2 saddle re-solves at res 240 are
-                # pathological for any backend
-                mres = int(ref_cfg.get("mesh", {}).get("resolution", 128))
-                ref_cfg.setdefault("mesh", {})["resolution"] = min(mres, 128)
-                fem_cfg = ref_cfg.setdefault("fem", {})
-                fem_cfg["degree_u"] = min(int(fem_cfg.get("degree_u", 2)), 2)
-                fem_cfg["degree_p"] = min(int(fem_cfg.get("degree_p", 1)), 1)
+                # override (dealii_oracle/oracle.py:410-423: reference
+                # re-solves forced direct and capped at resolution 128
+                # ONLY when the reference solver is not already a direct
+                # preonly/lu config): unbounded P3-P2 iterative saddle
+                # re-solves at res 240 are pathological for any backend
+                ref_solver = ref_cfg.get("oracle_solver", {})
+                already_direct = ref_solver.get(
+                    "ksp_type"
+                ) == "preonly" or ref_solver.get("pc_type") in ("lu", "mumps")
+                if not already_direct:
+                    mres = int(ref_cfg.get("mesh", {}).get("resolution", 128))
+                    ref_cfg.setdefault("mesh", {})["resolution"] = min(
+                        mres, 128
+                    )
+                    fem_cfg = ref_cfg.setdefault("fem", {})
+                    fem_cfg["degree_u"] = min(
+                        int(fem_cfg.get("degree_u", 2)), 2
+                    )
+                    fem_cfg["degree_p"] = min(
+                        int(fem_cfg.get("degree_p", 1)), 1
+                    )
                 ref = self.solve(ref_cfg, _compute_baseline=False)
                 err = compute_rel_L2_grid(fem_grid, ref.reference)
             baseline_error = err if err is not None else 0.0

@@ -323,7 +323,7 @@ def minres(
 
     def outer_cond(s):
         return jnp.logical_and(
-            s["res"] > tol_true,
+            jnp.logical_and(s["res"] > tol_true, ~s["stalled"]),
             jnp.logical_and(s["rs"] < restarts, s["total"] < maxiter),
         )
 
@@ -341,7 +341,10 @@ def minres(
         x = s["x"] + d
         r_new = b - A(x)
         res = jnp.linalg.norm(r_new)
-        # keep the best iterate: a stagnated restart must not regress
+        # keep the best iterate: a stagnated restart must not regress.
+        # A non-improving restart would deterministically repeat the same
+        # inner solve (r/res/factor unchanged) — flag it so outer_cond
+        # exits instead of burning the remaining restart budget.
         better = res < s["res"]
         return dict(
             x=jnp.where(better, x, s["x"]),
@@ -349,6 +352,7 @@ def minres(
             res=jnp.where(better, res, s["res"]),
             total=s["total"] + k,
             rs=s["rs"] + 1,
+            stalled=~better,
         )
 
     r0 = b - A(x0)
@@ -361,6 +365,7 @@ def minres(
             res=jnp.linalg.norm(r0),
             total=jnp.asarray(0, jnp.int32),
             rs=jnp.asarray(0, jnp.int32),
+            stalled=jnp.asarray(False),
         ),
     )
     return out["x"], KrylovInfo(

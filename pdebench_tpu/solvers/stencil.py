@@ -161,8 +161,11 @@ class LatticeWeightMap:
         rows = np.broadcast_to(site[:, :, None], d.shape[:3])
         flat = o_idx.reshape(rows.shape) * n_lat + rows
         self._flat_np = flat.reshape(-1)
-        self._flat = jnp.asarray(self._flat_np, dtype=jnp.int32)
         self._n = len(self.offsets) * n_lat
+        # K * n_lat can exceed int32 on large 3-D P2 lattices (res >= ~150);
+        # a silent int32 cast would corrupt the in-jit scatter indices.
+        idx_dtype = jnp.int32 if self._n <= 2**31 - 1 else jnp.int64
+        self._flat = jnp.asarray(self._flat_np, dtype=idx_dtype)
 
     def weights(self, A_local: jnp.ndarray) -> jnp.ndarray:
         """(c, nl, nl) local batch -> (K,) + shape stencil weights."""
