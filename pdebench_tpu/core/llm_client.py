@@ -101,7 +101,13 @@ def _call_provider(
     provider: str, model: str, prompt: str, max_tokens: int
 ) -> Tuple[str, Tuple[int, int]]:
     if provider == "mock":
-        # deterministic offline stub for pipeline tests
+        # deterministic offline stub for pipeline tests; a response file
+        # lets tests round-trip arbitrary solver code (e.g. the docs
+        # guide examples) through the full driver without a network
+        resp_file = os.environ.get("PDEBENCH_MOCK_RESPONSE_FILE")
+        if resp_file:
+            text = open(resp_file).read()
+            return text, (len(prompt) // 4, len(text) // 4)
         return (
             "```python\nimport numpy as np\n\ndef solve(case_spec):\n"
             "    grid = case_spec.get('oracle_config', case_spec)['output']['grid']\n"

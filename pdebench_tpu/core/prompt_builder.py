@@ -277,8 +277,12 @@ def solve(case_spec: dict) -> dict:
     }
 ```
 
-`case_spec` is the JSON case record you are shown (with oracle-internal
-fields removed). All five solver_info keys are REQUIRED. The script runs
+`case_spec` is a dict with TOP-LEVEL keys `pde` (type, coefficients,
+pde_params, source_term, time/initial_condition for transient cases),
+`domain` (type + geometry_params), `bc`, `output` (the grid spec),
+`agent_knobs`, `evaluation_config`, `id`, `pde_classification` —
+oracle-internal fields (mesh/fem/solver choices, exact solutions) are
+removed. All five solver_info keys are REQUIRED. The script runs
 in a sandbox with numpy/scipy{jax_note} available; it must be
 self-contained (no network, no reading files outside the working dir).
 """

@@ -63,24 +63,60 @@ class ExecutionResult:
         return self.t_agent_run
 
 
+_PDE_HIDDEN_KEYS = ("manufactured_solution", "manufactured_u",
+                    "exact_solution")
+
+
 def build_agent_case_spec(case_spec: Dict[str, Any]) -> Dict[str, Any]:
-    """Sanitized agent view of the case (reference :222-262)."""
+    """Sanitized agent view of the case (reference :222-262).
+
+    The reference FLATTENS the spec the agent's solve() receives: pde /
+    domain / bc / output appear top-level (executor.py:253-262), with
+    the oracle's own discretization (mesh/fem/oracle_solver) and every
+    exact-solution field hidden.
+    """
     spec = copy.deepcopy(case_spec)
     oc = spec.get("oracle_config", spec)
-    for key in _STRIPPED_KEYS:
-        oc.pop(key, None)
-    pde = oc.get("pde", {})
-    pde.pop("manufactured_solution", None)
-    return spec
+    pde = {
+        k: v
+        for k, v in oc.get("pde", {}).items()
+        if k not in _PDE_HIDDEN_KEYS
+    }
+    knobs = [
+        k
+        for k in spec.get("agent_knobs", [])
+        if k.get("name") not in _PDE_HIDDEN_KEYS
+    ]
+    return {
+        "id": spec.get("id", ""),
+        "pde_classification": spec.get("pde_classification", {}),
+        "pde": pde,
+        "domain": oc.get("domain", {"type": "unit_square"}),
+        "bc": oc.get("bc", {}),
+        "output": oc.get("output", {}),
+        "agent_knobs": knobs,
+        "evaluation_config": spec.get("evaluation_config", {}),
+    }
 
 
 _RUNNER_TEMPLATE = '''\
 """Generated sandbox runner (do not edit)."""
 import importlib.util
 import json
+import os
 import sys
 import time
 import numpy as np
+
+# this image pre-imports jax with the remote-TPU plugin; JAX_PLATFORMS in
+# the env is ignored, so the harness platform override (tests/CI force
+# cpu) must be applied through jax.config before the agent module runs
+if os.environ.get("PDEBENCH_TPU_PLATFORM"):
+    try:
+        import jax
+        jax.config.update("jax_platforms", os.environ["PDEBENCH_TPU_PLATFORM"])
+    except Exception:
+        pass
 
 def main():
     script_path, case_path, outdir = sys.argv[1], sys.argv[2], sys.argv[3]

@@ -36,6 +36,14 @@ import jax  # noqa: E402
 if os.environ.get("PDEBENCH_TPU_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["PDEBENCH_TPU_PLATFORM"])
 jax.config.update("jax_enable_x64", True)
+# Long sweeps on the 1-core CPU box are dominated by XLA compiles; a
+# persistent compilation cache makes restarts (resume-jsonl) cheap.
+if os.environ.get("PDEBENCH_TPU_COMPILE_CACHE"):
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ["PDEBENCH_TPU_COMPILE_CACHE"],
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from pdebench_tpu.oracle import OracleSolver  # noqa: E402
 from run_benchmark import find_data_file, load_benchmark_cases  # noqa: E402

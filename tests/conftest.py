@@ -14,6 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# sandbox subprocesses spawned by tests (executor runners) read this to
+# apply the same override in the child
+os.environ.setdefault("PDEBENCH_TPU_PLATFORM", "cpu")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,180 @@
+"""The docs guide must actually teach the library: its worked solver
+examples are extracted VERBATIM from PDEBENCH_TPU_GUIDE.md and driven
+through the real harness (sandbox executor + run_benchmark driver with
+the mock LLM). If the guide drifts from the API, these fail.
+
+Role parity: the reference injected library guides into every prompt
+(pdebench/core/prompt_builder.py:779-800); agents pass or fail based on
+what those guides teach.
+"""
+
+import importlib.util
+import json
+import os
+import re
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+GUIDE = REPO / "pdebench_tpu" / "docs" / "PDEBENCH_TPU_GUIDE.md"
+PY_GUIDE = REPO / "pdebench_tpu" / "docs" / "PYTHON_GUIDE.md"
+
+_spec = importlib.util.spec_from_file_location(
+    "rb_guide", REPO / "scripts" / "run_benchmark.py"
+)
+rb = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(rb)
+
+
+def _guide_solvers():
+    """All fenced python blocks in the guide that define solve(case_spec)."""
+    text = GUIDE.read_text()
+    blocks = re.findall(r"```python\n(.*?)```", text, flags=re.S)
+    return [b for b in blocks if "def solve(case_spec)" in b]
+
+
+def _load_case(case_id):
+    for line in open(REPO / "data" / "benchmark_v2.jsonl"):
+        c = json.loads(line)
+        if c["id"] == case_id:
+            return c
+    raise KeyError(case_id)
+
+
+def _exact_grid(case):
+    """Manufactured solution evaluated on the case's output grid."""
+    from pdebench_tpu.fem import sampling, symbolic
+
+    oc = case["oracle_config"]
+    u_expr = oc["pde"]["manufactured_solution"]["u"]
+    grid = oc["output"]["grid"]
+    pts, shape = sampling.grid_points(grid)
+    dim = 3 if grid.get("nz") else 2
+    t_end = oc["pde"].get("time", {}).get("t_end")
+    fn = symbolic.lambdify_numpy(u_expr, dim, with_time=t_end is not None)
+    vals = fn(pts, t_end) if t_end is not None else fn(pts)
+    return vals.reshape(shape)
+
+
+def test_guide_has_full_examples():
+    solvers = _guide_solvers()
+    # quick-start poisson, transient heat (plus whatever gets added later)
+    assert len(solvers) >= 2
+    text = GUIDE.read_text()
+    # the solver_info contract must be documented
+    for key in ("mesh_resolution", "element_degree", "ksp_type",
+                "pc_type", "rtol"):
+        assert key in text
+
+
+@pytest.mark.parametrize(
+    "block_marker,case_id,tol",
+    [
+        ("local_stiffness(cb, kappa_q)", "poisson_basic", 2e-3),
+        ("backward Euler LHS", "heat_basic", 5e-3),
+    ],
+)
+def test_guide_example_through_executor(tmp_path, block_marker, case_id, tol):
+    """Each worked example, run as agent code in the sandbox, reproduces
+    the manufactured solution on the output grid."""
+    from pdebench_tpu.sandbox.executor import execute_agent_function
+
+    code = next(b for b in _guide_solvers() if block_marker in b)
+    script = tmp_path / "solver.py"
+    script.write_text(code)
+    case = _load_case(case_id)
+
+    outdir = tmp_path / "out"
+    er = execute_agent_function(
+        str(script), str(outdir), case["oracle_config"], timeout_sec=600
+    )
+    assert er.success, f"guide example failed to execute: {er.error_message}\n{er.stderr[-2000:]}"
+
+    u = np.load(outdir / "solution.npz")["u"]
+    exact = _exact_grid(case)
+    assert u.shape == exact.shape
+    m = np.isfinite(exact) & np.isfinite(u)
+    assert m.any()
+    err = np.linalg.norm((u - exact)[m]) / np.linalg.norm(exact[m])
+    assert err < tol, f"guide example rel-L2 {err:.2e} vs exact"
+
+    meta = json.loads((outdir / "meta.json").read_text())
+    for key in ("mesh_resolution", "element_degree", "ksp_type", "pc_type",
+                "rtol"):
+        assert key in meta["solver_info"]
+
+
+def test_python_guide_fd_example(tmp_path):
+    """The numpy/scipy guide's worked FD Poisson solver passes a real
+    case through the sandbox."""
+    from pdebench_tpu.sandbox.executor import execute_agent_function
+
+    text = PY_GUIDE.read_text()
+    blocks = re.findall(r"```python\n(.*?)```", text, flags=re.S)
+    code = next(b for b in blocks if "def solve(case_spec)" in b)
+    script = tmp_path / "solver.py"
+    script.write_text(code)
+    case = _load_case("poisson_basic")
+
+    outdir = tmp_path / "out"
+    er = execute_agent_function(
+        str(script), str(outdir), case["oracle_config"], timeout_sec=300
+    )
+    assert er.success, f"{er.error_message}\n{er.stderr[-2000:]}"
+    u = np.load(outdir / "solution.npz")["u"]
+    exact = _exact_grid(case)
+    err = np.linalg.norm(u - exact) / np.linalg.norm(exact)
+    assert err < 2e-3, f"FD guide example rel-L2 {err:.2e}"
+
+
+def test_cpp_guide_worked_example(tmp_path):
+    """The C++ guide's complete program compiles and passes poisson_basic
+    through the C++ sandbox."""
+    from pdebench_tpu.sandbox.cpp_executor import CppExecutor
+
+    text = (REPO / "pdebench_tpu" / "docs" / "CPP_GUIDE.md").read_text()
+    blocks = re.findall(r"```cpp\n(.*?)```", text, flags=re.S)
+    code = next(b for b in blocks if "int main(" in b)
+    case = _load_case("poisson_basic")
+
+    ex = CppExecutor(build_dir=str(tmp_path / "build"))
+    r = ex.execute(code, case, str(tmp_path / "out"), timeout_sec=300)
+    assert r.success, f"{r.error_message}\n{r.stderr[-2000:]}"
+    u = np.load(tmp_path / "out" / "solution.npz")["u"]
+    exact = _exact_grid(case)
+    err = np.linalg.norm(u - exact) / np.linalg.norm(exact)
+    assert err < 2e-3, f"C++ guide example rel-L2 {err:.2e}"
+
+
+def test_guide_quickstart_roundtrip_run_benchmark(tmp_path, monkeypatch):
+    """Mock-agent round-trip through run_benchmark.run_single_case using
+    ONLY guide content as the LLM response (VERDICT r1 item 4)."""
+    code = next(b for b in _guide_solvers()
+                if "local_stiffness(cb, kappa_q)" in b)
+    resp = tmp_path / "resp.md"
+    resp.write_text("```python\n" + code + "```\n")
+    monkeypatch.setenv("PDEBENCH_MOCK_RESPONSE_FILE", str(resp))
+
+    case = _load_case("poisson_basic")
+    results_dir = tmp_path / "results"
+    result = rb.run_single_case(
+        case, "mock", None, results_dir, "jax", timeout_sec=600
+    )
+
+    assert result["gate_breakdown"]["exec_valid"], result.get(
+        "error_message"
+    )
+    # accuracy gate must pass (the time gate compares a cold, 1-core-CPU
+    # sandbox run incl. XLA compiles against the warm oracle baseline —
+    # meaningless in this unit-test environment, so not asserted)
+    assert result["fail_reason"] not in ("ACCURACY_FAIL", "INVALID_ERROR")
+    assert result["error"] is not None
+    assert result["error"] <= result["target_error"]
+    # artifacts written like the reference driver
+    case_dir = results_dir / "mock" / "poisson_basic"
+    assert (case_dir / "prompt.md").exists()
+    assert (case_dir / "solver.py").exists()
+    assert (case_dir / "result.json").exists()

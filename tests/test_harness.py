@@ -187,11 +187,16 @@ def test_error_classifier():
 
 
 def test_agent_view_sanitized():
+    # the agent view is FLATTENED like the reference's
+    # (executor.py:253-262): pde/domain/bc/output top-level, oracle
+    # discretization and exact solutions hidden
     spec = build_agent_case_spec(_case())
-    oc = spec["oracle_config"]
-    assert "mesh" not in oc and "fem" not in oc and "oracle_solver" not in oc
-    assert "manufactured_solution" not in oc["pde"]
-    assert "source_term" in oc["pde"]  # agents still see the physics
+    assert "oracle_config" not in spec
+    assert "mesh" not in spec and "fem" not in spec
+    assert "oracle_solver" not in spec
+    assert "manufactured_solution" not in spec["pde"]
+    assert "source_term" in spec["pde"]  # agents still see the physics
+    assert "domain" in spec and "bc" in spec and "output" in spec
 
 
 def test_execute_agent_function_roundtrip(tmp_path):
@@ -201,7 +206,7 @@ def test_execute_agent_function_roundtrip(tmp_path):
             """
             import numpy as np
             def solve(case_spec):
-                grid = case_spec["oracle_config"]["output"]["grid"]
+                grid = case_spec["output"]["grid"]
                 u = np.zeros((grid["ny"], grid["nx"]))
                 return {"u": u, "solver_info": {
                     "mesh_resolution": 32, "element_degree": 1,
@@ -250,7 +255,7 @@ def test_cpp_executor_roundtrip(tmp_path):
     #include <vector>
     int main(int argc, char** argv) {
         auto spec = pdebench::json::parse_file(argv[1]);
-        auto& grid = spec["oracle_config"]["output"]["grid"];
+        auto& grid = spec["output"]["grid"];
         long nx = grid["nx"].int_or(0), ny = grid["ny"].int_or(0);
         std::vector<double> u(nx * ny, 1.5);
         std::string out = std::string(argv[2]) + "/solution_grid.bin";
