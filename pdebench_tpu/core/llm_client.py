@@ -97,16 +97,26 @@ def _call_openai_compat(model, prompt, base_url, api_key, max_tokens):
     )
 
 
+_MOCK_CALL_COUNT = 0
+
+
 def _call_provider(
     provider: str, model: str, prompt: str, max_tokens: int
 ) -> Tuple[str, Tuple[int, int]]:
     if provider == "mock":
         # deterministic offline stub for pipeline tests; a response file
         # lets tests round-trip arbitrary solver code (e.g. the docs
-        # guide examples) through the full driver without a network
+        # guide examples) through the full driver without a network.
+        # "\n===NEXT===\n"-separated chunks are served sequentially
+        # (cycling at the end) so multi-call loops — feedback retries,
+        # repeated sampling — are testable offline too.
         resp_file = os.environ.get("PDEBENCH_MOCK_RESPONSE_FILE")
         if resp_file:
             text = open(resp_file).read()
+            chunks = text.split("\n===NEXT===\n")
+            global _MOCK_CALL_COUNT
+            text = chunks[min(_MOCK_CALL_COUNT, len(chunks) - 1)]
+            _MOCK_CALL_COUNT += 1
             return text, (len(prompt) // 4, len(text) // 4)
         return (
             "```python\nimport numpy as np\n\ndef solve(case_spec):\n"

@@ -245,11 +245,11 @@ def gate(
 # ---------------------------------------------------------------------------
 
 
-def _generate_code(agent_name, agent_config, prompt):
+def _generate_code(agent_name, agent_config, prompt, context=None):
     """Returns (code, meta, error_message)."""
     if AgentRegistry.is_registered(agent_name):
         agent = get_agent(agent_name, agent_config)
-        resp = agent.generate_solution(prompt)
+        resp = agent.generate_solution(prompt, context)
         if not resp.success:
             return None, resp.metadata, resp.error_message
         return resp.code, resp.metadata, None
@@ -345,7 +345,14 @@ def run_single_case(
                 }
                 p = create_feedback_prompt(prompt, attempts[-1], targets)
                 (case_dir / f"prompt_attempt_{attempt_idx}.md").write_text(p)
-            code, meta, gen_err = _generate_code(agent_name, agent_config, p)
+            # code agents get the case + oracle for INTERNAL candidate
+            # evaluation (reference codepde_wrapper.py:102-110)
+            code, meta, gen_err = _generate_code(
+                agent_name,
+                agent_config,
+                p,
+                context={"case_spec": case, "oracle_info": oracle_info},
+            )
             total_cost += float((meta or {}).get("cost_usd", 0.0))
             if code is None:
                 attempt.update(status="LLM_ERROR", error_message=gen_err)

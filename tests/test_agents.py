@@ -1,0 +1,149 @@
+"""CodePDE-style wrapper: repeated sampling, internal candidate
+evaluation against the oracle, and debug-message feedback — fully
+offline through the mock LLM (reference: agents/codepde_wrapper.py:90-210,
+487-574)."""
+
+import textwrap
+
+import numpy as np
+import pytest
+
+from pdebench_tpu.agents import get_agent
+from pdebench_tpu.core import llm_client
+
+
+def _case():
+    return {
+        "id": "toy_case",
+        "oracle_config": {
+            "pde": {"type": "poisson", "source_term": "0"},
+            "domain": {"type": "unit_square"},
+            "bc": {"dirichlet": {"on": "all", "value": "0"}},
+            "output": {
+                "grid": {"bbox": [0, 1, 0, 1], "nx": 8, "ny": 8},
+            },
+        },
+        "evaluation_config": {"accuracy_tolerance": 10,
+                              "time_tolerance": 3},
+    }
+
+
+def _oracle_info():
+    ref = np.full((8, 8), 1.5)
+    return {
+        "error": 1e-4,
+        "time": 1.0,
+        "reference": [float(v) for v in ref.ravel()],
+        "reference_shape": [8, 8],
+    }
+
+
+GOOD = textwrap.dedent(
+    """
+    ```python
+    import numpy as np
+    def solve(case_spec):
+        g = case_spec["output"]["grid"]
+        return {"u": np.full((g["ny"], g["nx"]), 1.5), "solver_info": {
+            "mesh_resolution": 8, "element_degree": 1,
+            "ksp_type": "cg", "pc_type": "jacobi", "rtol": 1e-8}}
+    ```
+    """
+)
+
+OFFBY = GOOD.replace("1.5", "1.2")  # executes, rel-L2 = 0.2
+
+BROKEN = textwrap.dedent(
+    """
+    ```python
+    def solve(case_spec):
+        raise RuntimeError("kaboom")
+    ```
+    """
+)
+
+BAD_SHAPE = textwrap.dedent(
+    """
+    ```python
+    import numpy as np
+    def solve(case_spec):
+        return {"u": np.zeros((3, 3)), "solver_info": {
+            "mesh_resolution": 8, "element_degree": 1,
+            "ksp_type": "cg", "pc_type": "jacobi", "rtol": 1e-8}}
+    ```
+    """
+)
+
+
+@pytest.fixture
+def mock_responses(tmp_path, monkeypatch):
+    def set_responses(*chunks):
+        f = tmp_path / "responses.md"
+        f.write_text("\n===NEXT===\n".join(chunks))
+        monkeypatch.setenv("PDEBENCH_MOCK_RESPONSE_FILE", str(f))
+        monkeypatch.setattr(llm_client, "_MOCK_CALL_COUNT", 0)
+
+    return set_responses
+
+
+def test_codepde_debug_feedback_recovers(mock_responses):
+    """Broken -> bad-shape -> good: the internal eval rejects the first
+    two and the feedback loop reaches the working candidate."""
+    mock_responses(BROKEN, BAD_SHAPE, GOOD)
+    agent = get_agent(
+        "codepde",
+        {"model": "mock", "num_repeated_samples": 1,
+         "num_debugging_trials": 3, "eval_timeout_sec": 60},
+    )
+    resp = agent.generate_solution(
+        "task", {"case_spec": _case(), "oracle_info": _oracle_info()}
+    )
+    assert resp.success
+    assert "1.5" in resp.code
+    assert resp.metadata["llm_calls"] == 3
+    assert resp.metadata["candidates_evaluated"] == 3
+    assert resp.metadata["internal_best_error"] == pytest.approx(0.0)
+
+
+def test_codepde_selects_best_sample(mock_responses):
+    """Two samples both execute; the one closer to the oracle wins."""
+    mock_responses(OFFBY, GOOD)
+    agent = get_agent(
+        "codepde",
+        {"model": "mock", "num_repeated_samples": 2,
+         "num_debugging_trials": 1, "eval_timeout_sec": 60},
+    )
+    resp = agent.generate_solution(
+        "task", {"case_spec": _case(), "oracle_info": _oracle_info()}
+    )
+    assert resp.success
+    assert "1.5" in resp.code and "1.2" not in resp.code
+    assert resp.metadata["internal_best_error"] < 1e-12
+
+
+def test_codepde_degrades_without_oracle(mock_responses):
+    """No context -> best-of-N sampling, no sandbox runs."""
+    mock_responses(GOOD)
+    agent = get_agent(
+        "codepde", {"model": "mock", "num_repeated_samples": 2,
+                    "num_debugging_trials": 3},
+    )
+    resp = agent.generate_solution("task")
+    assert resp.success and "def solve" in resp.code
+    assert resp.metadata["candidates_evaluated"] == 0
+    assert resp.metadata["llm_calls"] == 2  # one per sample, no retries
+
+
+def test_codepde_keeps_last_code_when_nothing_validates(mock_responses):
+    mock_responses(BROKEN)
+    agent = get_agent(
+        "codepde",
+        {"model": "mock", "num_repeated_samples": 1,
+         "num_debugging_trials": 2, "eval_timeout_sec": 60},
+    )
+    resp = agent.generate_solution(
+        "task", {"case_spec": _case(), "oracle_info": _oracle_info()}
+    )
+    assert resp.success  # degrades to the last sampled code
+    assert "kaboom" in resp.code
+    assert resp.metadata["internal_best_error"] is None
