@@ -1,3 +1,8 @@
+from .halo import (
+    HaloStencilOperator,
+    halo_pcg,
+    sharded_elasticity_step,
+)
 from .sharded import (
     ShardedOperator,
     partition_cells,
@@ -6,6 +11,9 @@ from .sharded import (
 )
 
 __all__ = [
+    "HaloStencilOperator",
+    "halo_pcg",
+    "sharded_elasticity_step",
     "ShardedOperator",
     "partition_cells",
     "sharded_cg",
