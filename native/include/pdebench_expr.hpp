@@ -6,8 +6,8 @@
 //
 // Grammar: expr := term (('+'|'-') term)*
 //          term := factor (('*'|'/') factor)*
-//          factor := unary ('**' factor)?          (right-assoc power)
-//          unary := ('+'|'-')* atom
+//          factor := ('+'|'-')* atom ('**' factor)?  (python precedence:
+//                    '**' binds tighter than unary minus, right-assoc)
 //          atom := number | const | var | func '(' expr (',' expr)* ')'
 //                | '(' expr ')'
 // Functions: sin cos tan exp log sqrt tanh sinh cosh abs Abs atan asin
@@ -157,16 +157,17 @@ class Parser {
       else return n;
     }
   }
+  // python/sympy precedence: '**' binds TIGHTER than unary minus
+  // (-x**2 == -(x**2)), while an exponent may itself be signed
+  // (x**-2). The previous `unary ('**' factor)?` rule silently
+  // computed (-x)**2 for sympy-printed sources like -(x-0.5)**2.
   NodePtr factor() {
-    NodePtr n = unary();
+    if (match("-")) return std::make_unique<Neg>(factor());
+    if (match("+")) return factor();
+    NodePtr n = atom();
     if (match("**"))
       return std::make_unique<Bin>('^', std::move(n), factor());
     return n;
-  }
-  NodePtr unary() {
-    if (match("-")) return std::make_unique<Neg>(unary());
-    if (match("+")) return unary();
-    return atom();
   }
 
   NodePtr atom() {
