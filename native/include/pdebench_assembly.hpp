@@ -12,6 +12,8 @@
 #include <vector>
 
 #include "pdebench_expr.hpp"
+#include <limits>
+
 #include "pdebench_fem.hpp"
 #include "pdebench_json.hpp"
 #include "pdebench_lagrange.hpp"
@@ -222,6 +224,11 @@ inline std::vector<double> sample_grid(const Mesh& m, const Space& sp,
                        ? g.z0 + (g.z1 - g.z0) * (g.nz > 1 ? (double)kz / (g.nz - 1) : 0)
                        : 0.0;
         int c = locate_cell(m, x, y, z);
+        if (c < 0) {  // outside a complex domain: NaN mask
+          out[((size_t)kz * g.ny + jy) * g.nx + ix] =
+              std::numeric_limits<double>::quiet_NaN();
+          continue;
+        }
         double xi[3];
         local_coords(m, c, x, y, z, xi);
         const int* dofs = &sp.cell_dofs[(size_t)c * el.ndofs];

@@ -31,6 +31,12 @@ struct Mesh {
   std::vector<std::array<int, 4>> cells;      // tri: 3 used, tet: 4
   int nodes_per_cell = 3;
   int resolution = 0;  // structured n for point location
+  // unstructured (imported) meshes: bbox + uniform cell bins for point
+  // location (pdebench_unstructured.hpp); structured stays analytic
+  bool structured = true;
+  double bb[4] = {0.0, 1.0, 0.0, 1.0};
+  int nbx = 0, nby = 0;
+  std::vector<std::vector<int>> bins;
 };
 
 inline Mesh unit_square_mesh(int n) {
@@ -434,7 +440,6 @@ inline double eval_p1(const Mesh& m, const std::vector<double>& u,
   std::sort(s, s + 3, [](const P& a, const P& b) { return a.v > b.v; });
   int cur[3] = {0, 0, 0};
   double w0 = 1.0 - s[0].v;
-  double vals[4];
   int idx[4];
   idx[0] = vid(i + cur[0], j + cur[1], k + cur[2]);
   double w[4] = {w0, s[0].v - s[1].v, s[1].v - s[2].v, s[2].v};

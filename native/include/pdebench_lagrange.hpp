@@ -21,6 +21,8 @@
 #include <unordered_map>
 #include <vector>
 
+#include <limits>
+
 #include "pdebench_fem.hpp"
 
 namespace pdebench {
@@ -393,8 +395,15 @@ inline void local_coords(const Mesh& m, int c, double x, double y, double z,
     xi[r] = jinv[r][0] * dx + jinv[r][1] * dy + jinv[r][2] * dz;
 }
 
-// containing cell index for a point in the structured mesh
+// unstructured location (defined in pdebench_unstructured.hpp);
+// returns -1 for points outside the domain
+inline int locate_cell_unstructured(const Mesh& m, double x, double y,
+                                    double tol);
+
+// containing cell index for a point (structured: analytic; imported
+// meshes: binned barycentric search, -1 when outside)
 inline int locate_cell(const Mesh& m, double x, double y, double z) {
+  if (!m.structured) return locate_cell_unstructured(m, x, y, 1e-10);
   int n = m.resolution;
   auto clampi = [&](double v) {
     int i = (int)std::floor(v * n);
@@ -427,6 +436,7 @@ inline double eval_space(const Mesh& m, const Space& sp, const Element& el,
                          const std::vector<double>& u, double x, double y,
                          double z) {
   int c = locate_cell(m, x, y, z);
+  if (c < 0) return std::numeric_limits<double>::quiet_NaN();
   double xi[3];
   local_coords(m, c, x, y, z, xi);
   double s = 0;

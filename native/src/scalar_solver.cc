@@ -29,6 +29,7 @@
 #include "pdebench_json.hpp"
 #include "pdebench_krylov.hpp"
 #include "pdebench_lagrange.hpp"
+#include "pdebench_unstructured.hpp"
 
 using pdebench::expr::Expression;
 using namespace pdebench::fem;
@@ -111,7 +112,13 @@ int main(int argc, char** argv) {
     mesh = unit_square_mesh(resolution);
   else if (domain == "unit_cube")
     mesh = unit_cube_mesh(resolution);
-  else {
+  else if (spec["domain"].contains("_mesh_file")) {
+    // complex 2-D geometry: triangulation imported from the Python
+    // bridge; dof numbering / assembly / sampling stay native
+    mesh = read_mesh_file(spec["domain"]["_mesh_file"].str());
+    mesh.resolution = resolution;
+    build_bins(mesh);
+  } else {
     std::fprintf(stderr, "native backend: unsupported domain '%s'\n",
                  domain.c_str());
     return 3;
@@ -120,7 +127,8 @@ int main(int argc, char** argv) {
 
   Quadrature q = simplex_quadrature(dim, degree + 2);
   Element el(dim, degree, q);
-  Space sp = build_space(mesh, el);
+  Space sp = mesh.structured ? build_space(mesh, el)
+                           : build_space_unstructured(mesh, el);
   const int n = sp.ndofs;
   CSR A0 = csr_from_cells(n, scalar_cell_lists(sp, el.ndofs));
 

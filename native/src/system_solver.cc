@@ -26,6 +26,7 @@
 #include "pdebench_assembly.hpp"
 #include "pdebench_krylov.hpp"
 #include "pdebench_lagrange.hpp"
+#include "pdebench_unstructured.hpp"
 
 using pdebench::expr::Expression;
 using namespace pdebench::fem;
@@ -166,7 +167,13 @@ int main(int argc, char** argv) {
     mesh = unit_square_mesh(resolution);
   else if (domain == "unit_cube")
     mesh = unit_cube_mesh(resolution);
-  else {
+  else if (spec["domain"].contains("_mesh_file")) {
+    // complex 2-D geometry: triangulation imported from the Python
+    // bridge; dof numbering / assembly / sampling stay native
+    mesh = read_mesh_file(spec["domain"]["_mesh_file"].str());
+    mesh.resolution = resolution;
+    build_bins(mesh);
+  } else {
     std::fprintf(stderr, "native backend: unsupported domain '%s'\n",
                  domain.c_str());
     return 3;
@@ -191,7 +198,8 @@ int main(int argc, char** argv) {
     int degree = (int)spec["fem"]["degree"].int_or(1);
     Quadrature q = simplex_quadrature(dim, degree + 2);
     Element el(dim, degree, q);
-    Space sp = build_space(mesh, el);
+    Space sp = mesh.structured ? build_space(mesh, el)
+                           : build_space_unstructured(mesh, el);
     int n = sp.ndofs;
     CSR K0 = csr_from_cells(n, scalar_cell_lists(sp, el.ndofs));
     assemble_laplacian(mesh, sp, el, q, K0);
@@ -277,7 +285,8 @@ int main(int argc, char** argv) {
     int degree = (int)spec["fem"]["degree"].int_or(1);
     Quadrature q = simplex_quadrature(dim, degree + 2);
     Element el(dim, degree, q);
-    Space sp = build_space(mesh, el);
+    Space sp = mesh.structured ? build_space(mesh, el)
+                           : build_space_unstructured(mesh, el);
     int nsp = sp.ndofs, n = dim * nsp;
     // Lame parameters (plane strain), reference:
     // oracle/linear_elasticity.py:28-35
@@ -377,7 +386,10 @@ int main(int argc, char** argv) {
     double nu_target = spec["pde"]["pde_params"]["nu"].number_or(1.0);
     Quadrature q = simplex_quadrature(dim, deg_u + 2);
     Element el_u(dim, deg_u, q), el_p(dim, deg_p, q);
-    Space sp_u = build_space(mesh, el_u), sp_p = build_space(mesh, el_p);
+    Space sp_u = mesh.structured ? build_space(mesh, el_u)
+                                 : build_space_unstructured(mesh, el_u);
+    Space sp_p = mesh.structured ? build_space(mesh, el_p)
+                                 : build_space_unstructured(mesh, el_p);
 
     FlowSystem sys;
     sys.mesh = &mesh;

@@ -54,6 +54,36 @@ _SYSTEM_PDES = (
 )
 _SUPPORTED_PDES = _SCALAR_PDES + _SYSTEM_PDES
 _SUPPORTED_DOMAINS = ("unit_square", "unit_cube")
+# complex 2-D geometries: triangulation imported from the Python mesher
+# (shared mesh GENERATION, like the reference's shared Gmsh files —
+# dealii_oracle/common.py:616-858 — with independent C++ discretization)
+_COMPLEX_2D_DOMAINS = (
+    "l_shape",
+    "circle",
+    "annulus",
+    "square_with_hole",
+    "multi_hole",
+    "t_junction",
+    "sector",
+    "star",
+    "gear",
+    "dumbbell",
+    "eccentric_annulus",
+)
+
+
+def _write_mesh_file(mesh, path: Path) -> None:
+    """Flat binary triangulation for pdebench_unstructured.hpp:
+    int32 magic 'pdm1', dim, n_nodes, n_cells; f64 coords; int32 cells."""
+    coords = np.asarray(mesh.coords, dtype=np.float64)
+    cells = np.asarray(mesh.cells, dtype=np.int32)
+    with open(path, "wb") as f:
+        np.asarray(
+            [0x70646D31, coords.shape[1], coords.shape[0], cells.shape[0]],
+            dtype=np.int32,
+        ).tofile(f)
+        coords.tofile(f)
+        cells.tofile(f)
 
 
 def _binary_for(pde_type: str) -> Path:
@@ -167,16 +197,26 @@ def preprocess_case_spec(config: Dict[str, Any]) -> Dict[str, Any]:
 def solve_via_cpp(oracle_config: Dict[str, Any]) -> OracleResult:
     pde_type = oracle_config["pde"]["type"]
     domain = oracle_config["domain"]["type"]
-    if pde_type not in _SUPPORTED_PDES or domain not in _SUPPORTED_DOMAINS:
+    if pde_type not in _SUPPORTED_PDES or (
+        domain not in _SUPPORTED_DOMAINS
+        and domain not in _COMPLEX_2D_DOMAINS
+    ):
         raise NotImplementedError(
             f"native backend covers {_SUPPORTED_PDES} on "
-            f"{_SUPPORTED_DOMAINS}; got {pde_type} on {domain}"
+            f"{_SUPPORTED_DOMAINS} + complex 2-D; got {pde_type} on {domain}"
         )
     binary = ensure_built(pde_type)
     cfg = preprocess_case_spec(oracle_config)
 
     t0 = time.perf_counter()
     with tempfile.TemporaryDirectory() as tmp:
+        if domain in _COMPLEX_2D_DOMAINS:
+            from . import base as _base
+
+            mesh = _base.build_mesh(cfg["domain"], cfg.get("mesh", {}))
+            mesh_path = Path(tmp) / "domain_mesh.bin"
+            _write_mesh_file(mesh, mesh_path)
+            cfg["domain"]["_mesh_file"] = str(mesh_path)
         spec_path = Path(tmp) / "case_spec.json"
         spec_path.write_text(json.dumps(cfg))
         proc = subprocess.run(

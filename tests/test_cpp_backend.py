@@ -60,10 +60,12 @@ def test_cpp_helmholtz():
 
 
 def test_cpp_unsupported_raises():
+    # complex 2-D domains are now meshed via the Python bridge; 3-D
+    # complex geometries remain out of the native backend's scope
     with pytest.raises(NotImplementedError):
         cfg = _cfg({"type": "poisson",
                     "manufactured_solution": {"u": "sin(pi*x)*sin(pi*y)"}})
-        cfg["domain"] = {"type": "l_shape"}
+        cfg["domain"] = {"type": "cylinder_shell"}
         OracleSolver().solve(cfg, solver_library="cpp")
 
 
@@ -181,3 +183,27 @@ def test_cpp_matches_jax_backend():
         r_jax.reference
     )
     assert d < 5e-3, d
+
+
+def test_cpp_complex_domain_matches_jax_backend():
+    # complex 2-D geometry: triangulation shared via the mesh bridge,
+    # but dof numbering / assembly / solve / sampling are independent
+    # C++ (pdebench_unstructured.hpp) — the cross-check VERDICT asked for
+    cfg = _cfg(
+        {"type": "poisson",
+         "manufactured_solution": {"u": "sin(pi*x)*sin(pi*y)"}},
+        domain={"type": "l_shape"},
+    )
+    r_cpp = OracleSolver().solve(cfg, solver_library="cpp")
+    r_jax = OracleSolver().solve(cfg, solver_library="jax")
+    m_cpp = np.isnan(r_cpp.reference)
+    m_jax = np.isnan(r_jax.reference)
+    # NaN masks (out-of-domain points) must agree
+    assert (m_cpp == m_jax).mean() > 0.995, (m_cpp.sum(), m_jax.sum())
+    both = ~(m_cpp | m_jax)
+    d = np.linalg.norm(
+        r_cpp.reference[both] - r_jax.reference[both]
+    ) / np.linalg.norm(r_jax.reference[both])
+    assert d < 5e-3, d
+    # and the MMS error itself must be small
+    assert r_cpp.baseline_error < 5e-3
