@@ -283,6 +283,19 @@ def saddle_gmg_precond(
     emb = lat_bc.embedding
     inv = lat_bc.inv_j
     shape = lat_bc.shape
+    # on TPU the XLA V-cycle is launch-bound inside Arnoldi loops; fuse
+    # a linear 2-V-cycle Richardson chain into one Pallas kernel per
+    # component application (safe in non-flexible GMRES: linear in r)
+    fused = None
+    try:
+        import jax as _jax
+
+        if _jax.devices()[0].platform in ("tpu", "axon"):
+            from ..solvers.gmg_fused import build_fused_richardson
+
+            fused = build_fused_richardson(gmg, 2)
+    except Exception:
+        fused = None
 
     Mp = jnp.einsum("qi,qj,cq->cij", psi, psi, cb.wdetJ)
     dMp = scatter_add(jnp.einsum("cii->ci", Mp), dofmap_p, np_dofs)
@@ -299,7 +312,10 @@ def saddle_gmg_precond(
         comps = []
         for c in range(d):
             rc32 = emb.embed(ru[:, c].astype(jnp.float32), 0.0)
-            zc = vcyc(rc32.reshape(shape)).reshape(-1)[inv]
+            if fused is not None:
+                zc = fused(rc32)[inv]
+            else:
+                zc = vcyc(rc32.reshape(shape)).reshape(-1)[inv]
             comps.append(zc.astype(r.dtype))
         zu = jnp.stack(comps, axis=1).reshape(-1)
         out = jnp.concatenate([zu, inv_p * r[nu_dofs:]])

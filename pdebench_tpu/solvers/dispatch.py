@@ -165,20 +165,36 @@ def solve_constrained_ir(
             # on TPU, the whole GMG-PCG inner solve runs as ONE fused
             # Pallas kernel with every level VMEM-resident (~8x the XLA
             # op-by-op inner at benchmark sizes); scope-gated inside the
-            # builder, silent fallback to the standard path
-            if inner == "cg" and step_weights is None:
+            # builder, silent fallback to the standard path. For gmres
+            # inners (nonsymmetric systems) the CG kernel doesn't apply,
+            # but the preconditioner V-cycle chain does: a fused LINEAR
+            # 2-V-cycle Richardson replaces the launch-bound XLA V-cycle
+            # inside the Arnoldi iteration.
+            if step_weights is None:
                 try:
                     import jax as _jax
 
-                    if (
-                        _jax.devices()[0].platform in ("tpu", "axon")
-                        and type(gmg).__name__ == "LatticeGMG"
-                    ):
-                        from .gmg_fused import build_fused_inner_cg
-
-                        inner_custom = build_fused_inner_cg(
-                            gmg, inner_iters
+                    gmg_kind = type(gmg).__name__
+                    if _jax.devices()[0].platform in (
+                        "tpu", "axon",
+                    ) and gmg_kind in ("LatticeGMG", "BlockLatticeGMG"):
+                        from .gmg_fused import (
+                            build_fused_block_inner_cg,
+                            build_fused_inner_cg,
+                            build_fused_richardson,
                         )
+
+                        if inner == "cg":
+                            builder = (
+                                build_fused_inner_cg
+                                if gmg_kind == "LatticeGMG"
+                                else build_fused_block_inner_cg
+                            )
+                            inner_custom = builder(gmg, inner_iters)
+                        elif gmg_kind == "LatticeGMG":
+                            fr = build_fused_richardson(gmg, 2)
+                            if fr is not None:
+                                M32 = fr
                 except Exception:
                     inner_custom = None
 

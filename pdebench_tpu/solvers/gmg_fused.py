@@ -92,10 +92,20 @@ class _Level:
 
 
 def build_fused_inner_cg(
-    gmg, inner_iters: int, vmem_budget=10_000_000, interpret: bool = False
+    gmg,
+    inner_iters: int,
+    vmem_budget=10_000_000,
+    interpret: bool = False,
+    mode: str = "cg",
 ):
     """Returns fn(r_lat_flat_f32) -> z_lat_flat_f32 running the whole
-    GMG-PCG inner solve in one pallas call, or None if out of scope."""
+    GMG-PCG inner solve in one pallas call, or None if out of scope.
+
+    mode="cg": inner_iters PCG steps (nonlinear in r — only valid as a
+    full inner solver under iterative refinement).
+    mode="richardson": inner_iters chained V-cycles z += V(r - A z) —
+    a LINEAR operator in r, safe as the preconditioner inside standard
+    (non-flexible) GMRES/MINRES cycles, still one kernel launch."""
     if not _HAS_PLTPU:
         return None
     levels = getattr(gmg, "levels", None)
@@ -238,6 +248,14 @@ def build_fused_inner_cg(
 
         r0 = r_ref[:, :]
 
+        if mode == "richardson":
+            z = vcycle(0, r0)
+            for _ in range(inner_iters - 1):
+                res = r0 - _apply(0, W[0], z)
+                z = z + vcycle(0, res)
+            out_ref[:, :] = z
+            return
+
         def cg_body(i, state):
             z, res, p, rz = state
             Ap = _apply(0, W[0], p)
@@ -305,5 +323,294 @@ def build_fused_inner_cg(
         )
         z = call(r2p, *args_np)
         return z[:ny, :nx].reshape(-1)
+
+    return inner
+
+
+def build_fused_richardson(
+    gmg, n_cycles: int = 2, vmem_budget=10_000_000, interpret: bool = False
+):
+    """Fused chain of n V-cycles as ONE kernel: z_{k+1} = z_k +
+    V(r - A z_k). Linear in r, so usable as the preconditioner in
+    non-flexible Krylov cycles (GMRES Arnoldi, MINRES) — one pallas
+    launch replaces the dozens of XLA ops per V-cycle that made the
+    device saddle path launch-bound."""
+    return build_fused_inner_cg(
+        gmg, n_cycles, vmem_budget=vmem_budget, interpret=interpret,
+        mode="richardson",
+    )
+
+
+# ---------------------------------------------------------------------------
+# block (vector) lattices — fused elasticity-class inner solve
+# ---------------------------------------------------------------------------
+
+
+class _BlockLevel:
+    def __init__(self, W, offsets, pad, shape, diag_inv, omega, d):
+        ny, nx = shape
+        self.ny, self.nx = ny, nx
+        self.pad = pad
+        self.offsets = offsets
+        self.d = d
+        self.nyp = _ru(ny + pad, 8)
+        self.nxp = _ru(nx + pad, 128)
+        # (K, d, d, nyp, nxp): W[k, a, b] is the (a<-b) weight plane
+        Wn = np.asarray(W, np.float32)  # (K, ny, nx, d, d)
+        self.W = np.zeros(
+            (Wn.shape[0], d, d, self.nyp, self.nxp), np.float32
+        )
+        self.W[:, :, :, :ny, :nx] = np.moveaxis(Wn, (3, 4), (1, 2))
+        Dn = omega * np.asarray(diag_inv, np.float32)  # (ny, nx, d, d)
+        self.dinv = np.zeros((d, d, self.nyp, self.nxp), np.float32)
+        self.dinv[:, :, :ny, :nx] = np.moveaxis(Dn, (2, 3), (0, 1))
+
+
+def build_fused_block_inner_cg(
+    gmg,
+    inner_iters: int,
+    vmem_budget=10_000_000,
+    interpret: bool = False,
+    mode: str = "cg",
+):
+    """Fused GMG-PCG inner solve for BLOCK (vector) lattices — the
+    elasticity analog of build_fused_inner_cg. Each component lives in
+    its own 2-D plane; block taps are d*d plane FMAs per offset, block
+    smoothing is a 2x2 per-point matmul, transfers are per-component
+    banded matmuls, and the coarsest solve is damped block-Jacobi
+    sweeps. Scope: 2-D lattices, d == 2, f32, VMEM-bounded.
+
+    Returns fn(r_lat_flat_f32) -> z_lat_flat_f32 on the block-lattice
+    flat layout (site-major, component-minor — the embedding of
+    stencil.BlockLatticeOperator), or None if out of scope."""
+    if not _HAS_PLTPU:
+        return None
+    levels = getattr(gmg, "levels", None)
+    d = getattr(gmg, "d", 0)
+    if not levels or len(levels[0].shape) != 2 or d != 2:
+        return None
+
+    from .gmg import _apply_block_np, _block_inv_np, _coarsen_block_stencil
+
+    lv: List[_BlockLevel] = [
+        _BlockLevel(
+            np.asarray(l.W), [tuple(int(v) for v in o) for o in l.offsets],
+            l.pad, l.shape, np.asarray(l.diag_inv), l.omega, d,
+        )
+        for l in levels
+    ]
+    # coarsest: probe one more level and smooth on its block stencil
+    last = levels[-1]
+    if all((s - 1) % 2 == 0 and s >= 5 for s in last.shape):
+        Wc, offs_c, shape_c = _coarsen_block_stencil(
+            np.asarray(last.W, np.float64),
+            [tuple(int(v) for v in o) for o in last.offsets],
+            last.shape,
+            d,
+        )
+        Dc = None
+        for k, off in enumerate(offs_c):
+            if all(o == 0 for o in off):
+                Dc = Wc[k]
+        Dinv_c = _block_inv_np(Dc)
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(shape_c + (d,))
+        lam = 1.0
+        for _ in range(8):
+            x = np.einsum(
+                "...ab,...b->...a", Dinv_c,
+                _apply_block_np(Wc, offs_c, x),
+            )
+            nrm = np.linalg.norm(x)
+            if nrm == 0:
+                break
+            lam = nrm
+            x /= nrm
+        pad_c = int(max(abs(o) for off in offs_c for o in off))
+        lv.append(
+            _BlockLevel(
+                Wc, [tuple(int(v) for v in o) for o in offs_c], pad_c,
+                shape_c, Dinv_c, float(0.9 / max(lam, 1e-12)), d,
+            )
+        )
+
+    Bry, Brx, Bpy, Bpx = [], [], [], []
+    for f, c in zip(lv[:-1], lv[1:]):
+        by = np.zeros((c.nyp, f.nyp), np.float32)
+        by[: (f.ny - 1) // 2 + 1, : f.ny] = _restrict_band(f.ny)
+        bx = np.zeros((c.nxp, f.nxp), np.float32)
+        bx[: (f.nx - 1) // 2 + 1, : f.nx] = _restrict_band(f.nx)
+        py = np.zeros((f.nyp, c.nyp), np.float32)
+        py[: f.ny, : c.ny] = _prolong_band(f.ny)
+        px = np.zeros((f.nxp, c.nxp), np.float32)
+        px[: f.nx, : c.nx] = _prolong_band(f.nx)
+        Bry.append(by)
+        Brx.append(bx)
+        Bpy.append(py)
+        Bpx.append(px)
+
+    total = sum(l.W.nbytes + l.dinv.nbytes for l in lv) + sum(
+        b.nbytes for bl in (Bry, Brx, Bpy, Bpx) for b in bl
+    )
+    total += 10 * d * lv[0].nyp * lv[0].nxp * 4
+    if total > vmem_budget:
+        return None
+
+    n_lv = len(lv)
+    fine = lv[0]
+    meta = [
+        dict(offsets=l.offsets, nyp=l.nyp, nxp=l.nxp) for l in lv
+    ]
+
+    def _roll2(t, dy, dx, l):
+        sy = (-dy) % meta[l]["nyp"]
+        if sy:
+            t = pltpu.roll(t, jnp.int32(sy), axis=0)
+        sx = (-dx) % meta[l]["nxp"]
+        if sx:
+            t = pltpu.roll(t, jnp.int32(sx), axis=1)
+        return t
+
+    def _apply_b(l, W, u0, u1):
+        """Block stencil apply on component planes."""
+        o0 = None
+        o1 = None
+        for k, (dy, dx) in enumerate(meta[l]["offsets"]):
+            t0 = _roll2(u0, dy, dx, l)
+            t1 = _roll2(u1, dy, dx, l)
+            c0 = W[k, 0, 0] * t0 + W[k, 0, 1] * t1
+            c1 = W[k, 1, 0] * t0 + W[k, 1, 1] * t1
+            o0 = c0 if o0 is None else o0 + c0
+            o1 = c1 if o1 is None else o1 + c1
+        return o0, o1
+
+    def _kernel(*refs):
+        # refs: r0, r1, W_0.., dinv_0.., Bry.., Brx.., Bpy.., Bpx..,
+        #       out0, out1
+        r0_ref, r1_ref = refs[0], refs[1]
+        Ws = refs[2 : 2 + n_lv]
+        Ds = refs[2 + n_lv : 2 + 2 * n_lv]
+        k0 = 2 + 2 * n_lv
+        m = n_lv - 1
+        By = [b[:, :] for b in refs[k0 : k0 + m]]
+        Bx = [b[:, :] for b in refs[k0 + m : k0 + 2 * m]]
+        Py = [b[:, :] for b in refs[k0 + 2 * m : k0 + 3 * m]]
+        Px = [b[:, :] for b in refs[k0 + 3 * m : k0 + 4 * m]]
+        out0_ref = refs[k0 + 4 * m]
+        out1_ref = refs[k0 + 4 * m + 1]
+
+        W = [w[:, :, :, :, :] for w in Ws]
+        D = [dd[:, :, :, :] for dd in Ds]
+
+        def smooth(l, r0, r1):
+            return (
+                D[l][0, 0] * r0 + D[l][0, 1] * r1,
+                D[l][1, 0] * r0 + D[l][1, 1] * r1,
+            )
+
+        def mm(Bl, Bt, u):
+            return jnp.dot(
+                Bl, jnp.dot(u, Bt.T, preferred_element_type=jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+
+        def vcycle(l, r0, r1):
+            x0, x1 = smooth(l, r0, r1)
+            if l == n_lv - 1:
+                for _ in range(COARSE_SWEEPS - 1):
+                    a0, a1 = _apply_b(l, W[l], x0, x1)
+                    s0, s1 = smooth(l, r0 - a0, r1 - a1)
+                    x0, x1 = x0 + s0, x1 + s1
+                return x0, x1
+            a0, a1 = _apply_b(l, W[l], x0, x1)
+            rc0 = mm(By[l], Bx[l], r0 - a0)
+            rc1 = mm(By[l], Bx[l], r1 - a1)
+            xc0, xc1 = vcycle(l + 1, rc0, rc1)
+            x0 = x0 + mm(Py[l], Px[l], xc0)
+            x1 = x1 + mm(Py[l], Px[l], xc1)
+            a0, a1 = _apply_b(l, W[l], x0, x1)
+            s0, s1 = smooth(l, r0 - a0, r1 - a1)
+            return x0 + s0, x1 + s1
+
+        r0 = r0_ref[:, :]
+        r1 = r1_ref[:, :]
+
+        if mode == "richardson":
+            z0, z1 = vcycle(0, r0, r1)
+            for _ in range(inner_iters - 1):
+                a0, a1 = _apply_b(0, W[0], z0, z1)
+                s0, s1 = vcycle(0, r0 - a0, r1 - a1)
+                z0, z1 = z0 + s0, z1 + s1
+            out0_ref[:, :] = z0
+            out1_ref[:, :] = z1
+            return
+
+        def cg_body(i, state):
+            z0, z1, e0, e1, p0, p1, rz = state
+            Ap0, Ap1 = _apply_b(0, W[0], p0, p1)
+            denom = jnp.sum(p0 * Ap0) + jnp.sum(p1 * Ap1)
+            alpha = rz / jnp.where(jnp.abs(denom) > 0, denom, 1.0)
+            z0, z1 = z0 + alpha * p0, z1 + alpha * p1
+            e0, e1 = e0 - alpha * Ap0, e1 - alpha * Ap1
+            s0, s1 = vcycle(0, e0, e1)
+            rz_new = jnp.sum(e0 * s0) + jnp.sum(e1 * s1)
+            beta = rz_new / jnp.where(jnp.abs(rz) > 0, rz, 1.0)
+            return (z0, z1, e0, e1, s0 + beta * p0, s1 + beta * p1, rz_new)
+
+        p0, p1 = vcycle(0, r0, r1)
+        rz0 = jnp.sum(r0 * p0) + jnp.sum(r1 * p1)
+        z0, z1, *_ = jax.lax.fori_loop(
+            0, inner_iters, cg_body,
+            (jnp.zeros_like(r0), jnp.zeros_like(r1), r0, r1, p0, p1, rz0),
+        )
+        out0_ref[:, :] = z0
+        out1_ref[:, :] = z1
+
+    args_np = (
+        [jnp.asarray(l.W) for l in lv]
+        + [jnp.asarray(l.dinv) for l in lv]
+        + [jnp.asarray(b) for b in Bry]
+        + [jnp.asarray(b) for b in Brx]
+        + [jnp.asarray(b) for b in Bpy]
+        + [jnp.asarray(b) for b in Bpx]
+    )
+    zero2 = lambda: (jnp.int32(0), jnp.int32(0))
+    in_specs = [
+        pl.BlockSpec((fine.nyp, fine.nxp), zero2),
+        pl.BlockSpec((fine.nyp, fine.nxp), zero2),
+    ]
+    for a in args_np:
+        idx = {
+            2: zero2,
+            4: lambda: (jnp.int32(0),) * 4,
+            5: lambda: (jnp.int32(0),) * 5,
+        }[a.ndim]
+        in_specs.append(pl.BlockSpec(a.shape, idx))
+
+    call = pl.pallas_call(
+        _kernel,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((fine.nyp, fine.nxp), zero2),
+            pl.BlockSpec((fine.nyp, fine.nxp), zero2),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((fine.nyp, fine.nxp), jnp.float32),
+            jax.ShapeDtypeStruct((fine.nyp, fine.nxp), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+    ny, nx = fine.ny, fine.nx
+
+    def inner(r_flat: jnp.ndarray) -> jnp.ndarray:
+        # block-lattice flat layout: (ny, nx, d), component-minor
+        r3 = r_flat.reshape(ny, nx, d).astype(jnp.float32)
+        pads = ((0, fine.nyp - ny), (0, fine.nxp - nx))
+        r0 = jnp.pad(r3[:, :, 0], pads)
+        r1 = jnp.pad(r3[:, :, 1], pads)
+        z0, z1 = call(r0, r1, *args_np)
+        z = jnp.stack([z0[:ny, :nx], z1[:ny, :nx]], axis=-1)
+        return z.reshape(-1)
 
     return inner

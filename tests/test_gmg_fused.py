@@ -64,3 +64,104 @@ def test_fused_builder_vmem_gate():
     assert (
         build_fused_inner_cg(lat32.gmg, 12, vmem_budget=1000) is None
     )
+
+
+def test_fused_richardson_linear_and_matches_xla_vcycles():
+    """mode=richardson must (a) be a linear operator in r and (b) match
+    the XLA V-cycle chain z += V(r - A z) to f32 tolerance."""
+    from pdebench_tpu.solvers.gmg_fused import build_fused_richardson
+
+    space, lat32, mask = _setup(32)
+    gmg = lat32.gmg
+    fused = build_fused_richardson(gmg, n_cycles=2, interpret=True)
+    assert fused is not None
+
+    rng = np.random.default_rng(3)
+    r1 = rng.standard_normal(space.ndof)
+    r2 = rng.standard_normal(space.ndof)
+    for r in (r1, r2):
+        r[mask] = 0.0
+    emb = lat32.embedding
+    f = lambda r: np.asarray(
+        fused(jnp.asarray(emb.embed_np(r.astype(np.float32), 0.0)))
+    )
+    z1, z2 = f(r1), f(r2)
+    z12 = f(r1 + 2.0 * r2)
+    # linearity (the property CG-mode lacks): f(a+2b) == f(a)+2f(b)
+    np.testing.assert_allclose(
+        z12, z1 + 2.0 * z2, rtol=2e-4, atol=2e-4 * np.abs(z1).max()
+    )
+
+    # richardson chain should reduce the residual more than one V-cycle
+    lv0 = gmg.levels[0]
+    r_lat = emb.embed_np(r1.astype(np.float32), 0.0)
+    r2d = jnp.asarray(r_lat.reshape(lv0.shape))
+
+    def fine_apply(z2d):
+        up = jnp.pad(z2d, lv0.pad)
+        Az = jnp.zeros_like(z2d)
+        for k, off in enumerate(lv0.offsets):
+            start = tuple(lv0.pad + o for o in off)
+            Az = Az + lv0.W[k] * jax.lax.dynamic_slice(up, start, lv0.shape)
+        return Az
+
+    z2d = jnp.asarray(z1.reshape(lv0.shape)[: lv0.shape[0], : lv0.shape[1]])
+    rel = float(jnp.linalg.norm(r2d - fine_apply(z2d))) / float(
+        jnp.linalg.norm(r2d)
+    )
+    assert rel < 0.25, rel  # 2 V-cycles on a mass-shifted Laplacian
+
+
+def _setup_block(n=32):
+    from pdebench_tpu.fem.assemble import local_elasticity
+    from pdebench_tpu.solvers.stencil import (
+        block_lattice_operator_from_local,
+    )
+
+    mesh = unit_square_mesh(n)
+    space = FunctionSpace(mesh, 1, ncomp=2)
+    cb = cell_batch(mesh, 1)
+    K = local_elasticity(cb, 1.0, 1.0)
+    lat32 = block_lattice_operator_from_local(
+        np.asarray(K), space.dofmap, space.ndof, space.dof_coords, 2,
+        dtype=jnp.float32,
+    )
+    mask = np.zeros(space.ndof, bool)
+    bs = space.boundary_scalar_dofs
+    mask[(bs[:, None] * 2 + np.arange(2)[None, :]).reshape(-1)] = True
+    attach_lattice_gmg(lat32, mask)
+    assert lat32.gmg is not None
+    return space, lat32, mask
+
+
+def test_fused_block_inner_cg_reduces_residual():
+    from pdebench_tpu.solvers.gmg_fused import build_fused_block_inner_cg
+
+    space, lat32, mask = _setup_block()
+    inner = build_fused_block_inner_cg(
+        lat32.gmg, inner_iters=12, interpret=True
+    )
+    assert inner is not None
+
+    rng = np.random.default_rng(0)
+    r = rng.standard_normal(space.ndof)
+    r[mask] = 0.0
+    emb = lat32.embedding
+    r_lat = np.asarray(emb.embed_np(r.astype(np.float32), 0.0))
+    z_lat = np.asarray(inner(jnp.asarray(r_lat)))
+    assert np.all(np.isfinite(z_lat))
+
+    # z approximately solves the constrained fine BLOCK system: apply
+    # the constrained weights via the XLA block-GMG level-0 stencil
+    lv0 = lat32.gmg.levels[0]
+    from pdebench_tpu.solvers.gmg import _apply_block_np
+
+    z3 = z_lat.reshape(lv0.shape + (2,))
+    r3 = r_lat.reshape(lv0.shape + (2,))
+    Az = _apply_block_np(
+        np.asarray(lv0.W, np.float64),
+        [tuple(o) for o in lv0.offsets],
+        z3.astype(np.float64),
+    )
+    rel = np.linalg.norm(r3 - Az) / np.linalg.norm(r3)
+    assert rel < 1e-3, rel
