@@ -144,17 +144,23 @@ class NavierStokesSolver:
             return nu_cur[0] * A1_loc + N.reshape(c, nlu_s * dim, nlu_s * dim)
 
         nu_cur = [nu]  # mutable closure cell for the continuation rung
+        _phase_t = {"lin": 0.0, "init": 0.0}  # phase wall-clock (diagnostics)
 
         # device path for the Newton linear systems: FGMRES-IR on the
         # saddle Jacobian with the (fixed) Stokes block preconditioner —
         # f32 inner Arnoldi at native v5e speed; falls back to host LU
         # when unavailable or unconverged
         device_lin = None
-        # measured on both CPU and TPU v5e: host SuperLU per Newton step
-        # beats the iterative saddle solve at benchmark sizes (the GMG
-        # velocity V-cycle is launch-bound inside the 60-dim Arnoldi);
-        # the device path is kept behind an explicit opt-in for larger
-        # problems where factorization cost dominates
+        # Measurements (round 2, TPU v5e): with the velocity
+        # preconditioner fused into one Pallas Richardson kernel
+        # (mixed.saddle_gmg_precond) the device saddle path reaches
+        # PARITY with host SuperLU at benchmark sizes (4.7 vs 4.4 s
+        # under equal load; inner=20 beats inner=60 by 1.4x) but does
+        # not win: the remaining cost is the cell-based gather/scatter
+        # saddle apply inside the f32 Arnoldi. Host LU stays the
+        # default; opt in with PDEBENCH_TPU_NS_DEVICE_NEWTON=1 (useful
+        # when the host CPU is the contended resource, or at larger
+        # sizes where factorization cost dominates).
         if os.environ.get("PDEBENCH_TPU_NS_DEVICE_NEWTON", "0") == "1":
             try:
                 M_block = mixed.saddle_gmg_precond(
@@ -171,6 +177,10 @@ class NavierStokesSolver:
                 G32 = G_loc.astype(jnp.float32)
                 mask_j = ctx.mask
 
+                _ns_inner = int(
+                    os.environ.get("PDEBENCH_TPU_NS_INNER_ITERS", "20")
+                )
+
                 @jax.jit
                 def device_lin(Ju, rhs):
                     apply64 = mixed.saddle_apply(
@@ -186,11 +196,13 @@ class NavierStokesSolver:
                     d, info = refined_solve(
                         A64, A32, rhs, M32=M32,
                         rtol=1e-8, atol=1e-12,
-                        inner_iters=60, max_outer=20, inner="gmres",
+                        inner_iters=_ns_inner, max_outer=20, inner="gmres",
                     )
                     return d, info.converged
 
         def newton(x0, rtol, atol, max_it):
+            import time as _time
+
             x = np.asarray(x0)
             x[mask_np] = g_np[mask_np]
             total_lin = 0
@@ -203,6 +215,7 @@ class NavierStokesSolver:
                     break  # converged, or diverging — stop burning LUs
                 Ju = jacobian_u_block(jnp.asarray(x))
                 delta = None
+                t_l0 = _time.perf_counter()
                 if device_lin is not None:
                     d_dev, conv = device_lin(Ju, jnp.asarray(-r))
                     if bool(conv):
@@ -215,6 +228,7 @@ class NavierStokesSolver:
                         K, -r, mask_np, np.zeros(ctx.N)
                     )
                 total_lin += 1
+                _phase_t["lin"] += _time.perf_counter() - t_l0
                 # backtracking line search ('bt')
                 t = 1.0
                 for _ in range(10):
@@ -231,6 +245,29 @@ class NavierStokesSolver:
             return x, rn, total_lin, bool(rn <= tol)
 
         def stokes_init(nu_init):
+            import time as _time
+
+            _t0 = _time.perf_counter()
+            try:
+                return _stokes_init_impl(nu_init)
+            finally:
+                _phase_t["init"] += _time.perf_counter() - _t0
+
+        def _stokes_init_impl(nu_init):
+            if device_lin is not None:
+                # same constrained saddle solve, on device: rhs carries
+                # the BC lift (constrained_rhs semantics), so the result
+                # is the Stokes SOLUTION, not an increment
+                from ..fem.assemble import constrained_rhs as _con_rhs
+
+                Ju0 = nu_init * A1_loc
+                apply64 = mixed.saddle_apply(
+                    Ju0, G_loc, dofmap_u, dofmap_p, V.ndof, Q.ndof
+                )
+                rhs = _con_rhs(apply64, b, mask_j, g_j)
+                x_dev, conv = device_lin(Ju0, rhs)
+                if bool(conv):
+                    return np.asarray(x_dev)
             K = mixed.saddle_to_scipy(
                 np.asarray(nu_init * A1_loc),
                 G_loc,
@@ -271,6 +308,9 @@ class NavierStokesSolver:
                         "iterations": lin_solves,
                         "residual": float(rn),
                         "init_mode": init_mode,
+                        "t_lin": round(_phase_t["lin"], 4),
+                        "t_init": round(_phase_t["init"], 4),
+                        "device_newton": device_lin is not None,
                     }
                 # fall back to the geometric nu-ladder; intermediate
                 # rungs only need warm-start accuracy (the final Newton
@@ -298,6 +338,9 @@ class NavierStokesSolver:
                 "iterations": lin_solves,
                 "residual": float(rn),
                 "init_mode": init_mode,
+                "t_lin": round(_phase_t["lin"], 4),
+                "t_init": round(_phase_t["init"], 4),
+                "device_newton": device_lin is not None,
             }
 
         (fem_grid, info), t_warm, t_cold = base.timed_run(run)
