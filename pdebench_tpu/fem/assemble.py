@@ -69,18 +69,42 @@ class CellBatch:
         )
 
     def grad_phys(self) -> jnp.ndarray:
-        """Physical basis gradients (n_cells, nq, nl, d)."""
-        return jnp.einsum("qik,cqdk->cqid", self.dphi, self.invJ)
+        """Physical basis gradients (n_cells, nq, nl, d).
+
+        Computed ONCE host-side with numpy and cached. When the einsum
+        was staged lazily it ended up inside jitted scan bodies, where
+        XLA constant-folds the (n_cells*nq*d, nl) f64 dot at COMPILE
+        time — 1-16+ s slow-operation alarms per wave/burgers case in
+        the full-dataset sweep."""
+        gp = getattr(self, "_grad_phys", None)
+        if gp is None:
+            gp = jnp.asarray(
+                np.einsum(
+                    "qik,cqdk->cqid",
+                    np.asarray(self.dphi),
+                    np.asarray(self.invJ),
+                )
+            )
+            object.__setattr__(self, "_grad_phys", gp)
+        return gp
 
     def laplace_phys(self) -> jnp.ndarray:
         """Physical basis Laplacians (n_cells, nq, nl).
 
         Exact for affine cell maps (simplices, axis-aligned rectangles):
         d2phi/dx_a dx_b = invJ[a,k] invJ[b,l] d2phi/dxi_k dxi_l.
-        """
-        return jnp.einsum(
-            "qikl,cqak,cqal->cqi", self.d2phi, self.invJ, self.invJ
-        )
+        Host-computed + cached for the same compile-time reason as
+        grad_phys."""
+        lp = getattr(self, "_laplace_phys", None)
+        if lp is None:
+            iJ = np.asarray(self.invJ)
+            lp = jnp.asarray(
+                np.einsum(
+                    "qikl,cqak,cqal->cqi", np.asarray(self.d2phi), iJ, iJ
+                )
+            )
+            object.__setattr__(self, "_laplace_phys", lp)
+        return lp
 
 
 def _det_inv(J: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
