@@ -181,6 +181,7 @@ def solve_constrained_ir(
                         from .gmg_fused import (
                             build_fused_block_inner_cg,
                             build_fused_inner_cg,
+                            build_fused_inner_gmres,
                             build_fused_richardson,
                         )
 
@@ -192,9 +193,16 @@ def solve_constrained_ir(
                             )
                             inner_custom = builder(gmg, inner_iters)
                         elif gmg_kind == "LatticeGMG":
-                            fr = build_fused_richardson(gmg, 2)
-                            if fr is not None:
-                                M32 = fr
+                            # whole Arnoldi cycle in one kernel; if the
+                            # basis exceeds VMEM, fall back to the XLA
+                            # cycle with a fused 2-V-cycle M
+                            inner_custom = build_fused_inner_gmres(
+                                gmg, inner_iters
+                            )
+                            if inner_custom is None:
+                                fr = build_fused_richardson(gmg, 2)
+                                if fr is not None:
+                                    M32 = fr
                 except Exception:
                     inner_custom = None
 

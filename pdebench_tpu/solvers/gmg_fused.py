@@ -91,23 +91,11 @@ class _Level:
         self.dinv[:ny, :nx] = omega * np.asarray(diag_inv, np.float32)
 
 
-def build_fused_inner_cg(
-    gmg,
-    inner_iters: int,
-    vmem_budget=10_000_000,
-    interpret: bool = False,
-    mode: str = "cg",
-):
-    """Returns fn(r_lat_flat_f32) -> z_lat_flat_f32 running the whole
-    GMG-PCG inner solve in one pallas call, or None if out of scope.
-
-    mode="cg": inner_iters PCG steps (nonlinear in r — only valid as a
-    full inner solver under iterative refinement).
-    mode="richardson": inner_iters chained V-cycles z += V(r - A z) —
-    a LINEAR operator in r, safe as the preconditioner inside standard
-    (non-flexible) GMRES/MINRES cycles, still one kernel launch."""
-    if not _HAS_PLTPU:
-        return None
+def _scalar_hierarchy(gmg):
+    """Shared scalar-lattice hierarchy construction: padded levels, an
+    extra probed coarsest level (smoothed on its stencil instead of the
+    XLA path's dense pinv), and the per-level-pair transfer bands.
+    Returns (lv, Bry, Brx, Bpy, Bpx, static_bytes) or None."""
     levels = getattr(gmg, "levels", None)
     if not levels or len(levels[0].shape) != 2:
         return None
@@ -119,9 +107,8 @@ def build_fused_inner_cg(
         )
         for l in levels
     ]
-    # coarsest stencil: re-probe one level below the last (the XLA path
-    # holds a dense pinv there; here we smooth on the coarsest STENCIL
-    # instead), when the last level is still halvable
+    # coarsest stencil: re-probe one level below the last, when the
+    # last level is still halvable
     from .gmg import _coarsen_stencil
 
     if all((s - 1) % 2 == 0 and s >= 5 for s in levels[-1].shape):
@@ -174,9 +161,33 @@ def build_fused_inner_cg(
         Bpy.append(py)
         Bpx.append(px)
 
-    total = sum(l.W.nbytes + l.dinv.nbytes for l in lv) + sum(
+    static = sum(l.W.nbytes + l.dinv.nbytes for l in lv) + sum(
         b.nbytes for bl in (Bry, Brx, Bpy, Bpx) for b in bl
     )
+    return lv, Bry, Brx, Bpy, Bpx, static
+
+
+def build_fused_inner_cg(
+    gmg,
+    inner_iters: int,
+    vmem_budget=10_000_000,
+    interpret: bool = False,
+    mode: str = "cg",
+):
+    """Returns fn(r_lat_flat_f32) -> z_lat_flat_f32 running the whole
+    GMG-PCG inner solve in one pallas call, or None if out of scope.
+
+    mode="cg": inner_iters PCG steps (nonlinear in r — only valid as a
+    full inner solver under iterative refinement).
+    mode="richardson": inner_iters chained V-cycles z += V(r - A z) —
+    a LINEAR operator in r, safe as the preconditioner inside standard
+    (non-flexible) GMRES/MINRES cycles, still one kernel launch."""
+    if not _HAS_PLTPU:
+        return None
+    built = _scalar_hierarchy(gmg)
+    if built is None:
+        return None
+    lv, Bry, Brx, Bpy, Bpx, total = built
     # work vectors: ~6 fine-size arrays
     total += 8 * lv[0].W.nbytes // max(lv[0].W.shape[0], 1)
     if total > vmem_budget:
@@ -613,4 +624,264 @@ def build_fused_block_inner_cg(
         z = jnp.stack([z0[:ny, :nx], z1[:ny, :nx]], axis=-1)
         return z.reshape(-1)
 
+    return inner
+
+
+# ---------------------------------------------------------------------------
+# fused GMRES inner — nonsymmetric/indefinite lattices (convdiff, helmholtz)
+# ---------------------------------------------------------------------------
+
+
+def build_fused_inner_gmres(
+    gmg,
+    inner_iters: int,
+    vmem_budget=10_000_000,
+    interpret: bool = False,
+    precond_cycles: int = 2,
+):
+    """Fused left-preconditioned Arnoldi cycle as ONE Pallas kernel —
+    the GMRES analog of build_fused_inner_cg, for the nonsymmetric /
+    indefinite lattice systems (SUPG convection-diffusion, Helmholtz)
+    whose inner is one m-step GMRES cycle per refinement outer
+    (krylov.refined_solve inner_gmres).
+
+    TPU-shaped split: the kernel runs the launch-/HBM-bound part — m
+    Arnoldi steps where each is a fine stencil apply + a chained
+    `precond_cycles`-V-cycle preconditioner + MGS against the VMEM-
+    resident basis — and writes out the basis V (m+1 planes) and the
+    preconditioned applies U (m planes). The host-jitted wrapper then
+    forms H = <V,U> as one MXU matmul, solves the (m+1, m) least
+    squares with the proven QR path (f32 lstsq crashes the axon XLA
+    pipeline), and combines z = sum_i y_i V_i — small dense work XLA
+    already does well. V/U rows are zero-initialized in-kernel so the
+    statically-bounded MGS loop never multiplies uninitialized VMEM
+    (0*NaN would poison the basis).
+
+    Returns fn(r_lat_flat_f32) -> z_lat_flat_f32 or None if out of
+    scope (non-2-D, or VMEM budget exceeded).
+    """
+    if not _HAS_PLTPU:
+        return None
+    built = _scalar_hierarchy(gmg)
+    if built is None:
+        return None
+    lv, Bry, Brx, Bpy, Bpx, total = built
+
+    # Mosaic's jaxpr lowering recurses ~3 Python frames per op and may
+    # unroll the Arnoldi fori_loop, so depth scales with m * body_ops.
+    # CPython 3.12 keeps Python-to-Python frames off the C stack, so a
+    # large limit is safe (heap-allocated frames).
+    import sys as _sys
+
+    if _sys.getrecursionlimit() < 200_000:
+        _sys.setrecursionlimit(200_000)
+
+    fine = lv[0]
+    plane = fine.nyp * fine.nxp * 4
+    # V (m+1) + U (m) + ~5 work planes; shrink the cycle length until
+    # the basis fits — a shorter fused cycle still beats the XLA cycle
+    # per outer, and the f64 refinement outers absorb the difference
+    m = 0
+    for m_try in sorted({int(inner_iters), 16, 12, 8}, reverse=True):
+        if m_try <= int(inner_iters) and (
+            total + (2 * m_try + 6) * plane <= vmem_budget
+        ):
+            m = m_try
+            break
+    if m < 4:
+        return None
+
+    n_lv = len(lv)
+    meta = [
+        dict(
+            offsets=[tuple(int(v) for v in o) for o in l.offsets],
+            pad=l.pad, nyp=l.nyp, nxp=l.nxp,
+        )
+        for l in lv
+    ]
+
+    def _apply(l, W, u):
+        out = None
+        for k, (dy, dx) in enumerate(meta[l]["offsets"]):
+            t = u
+            sy = (-dy) % meta[l]["nyp"]
+            if sy:
+                t = pltpu.roll(t, jnp.int32(sy), axis=0)
+            sx = (-dx) % meta[l]["nxp"]
+            if sx:
+                t = pltpu.roll(t, jnp.int32(sx), axis=1)
+            contrib = W[k] * t
+            out = contrib if out is None else out + contrib
+        return out
+
+    def _kernel(*refs):
+        # refs: r, W_0.., dinv_0.., Bry.., Brx.., Bpy.., Bpx..,
+        #       V_out, U_out, S_out
+        r_ref = refs[0]
+        Ws = refs[1 : 1 + n_lv]
+        Ds = refs[1 + n_lv : 1 + 2 * n_lv]
+        k0 = 1 + 2 * n_lv
+        nb = n_lv - 1
+        By = [b[:, :] for b in refs[k0 : k0 + nb]]
+        Bx = [b[:, :] for b in refs[k0 + nb : k0 + 2 * nb]]
+        Py = [b[:, :] for b in refs[k0 + 2 * nb : k0 + 3 * nb]]
+        Px = [b[:, :] for b in refs[k0 + 3 * nb : k0 + 4 * nb]]
+        V_ref = refs[k0 + 4 * nb]
+        U_ref = refs[k0 + 4 * nb + 1]
+        S_ref = refs[k0 + 4 * nb + 2]
+
+        W = [w[:, :, :] for w in Ws]
+        D = [d[:, :] for d in Ds]
+
+        def vcycle(l, r):
+            x = D[l] * r
+            if l == n_lv - 1:
+                for _ in range(COARSE_SWEEPS - 1):
+                    x = x + D[l] * (r - _apply(l, W[l], x))
+                return x
+            res = r - _apply(l, W[l], x)
+            rc = jnp.dot(
+                By[l], jnp.dot(res, Bx[l].T),
+                preferred_element_type=jnp.float32,
+            )
+            xc = vcycle(l + 1, rc)
+            x = x + jnp.dot(
+                Py[l], jnp.dot(xc, Px[l].T),
+                preferred_element_type=jnp.float32,
+            )
+            x = x + D[l] * (r - _apply(l, W[l], x))
+            return x
+
+        def precond(v):
+            z = vcycle(0, v)
+            for _ in range(precond_cycles - 1):
+                z = z + vcycle(0, v - _apply(0, W[0], z))
+            return z
+
+        eps = jnp.float32(1e-30)
+        # zero the basis buffers: MGS below reads every row statically
+        V_ref[:, :, :] = jnp.zeros(
+            (m + 1, fine.nyp, fine.nxp), jnp.float32
+        )
+        U_ref[:, :, :] = jnp.zeros((m, fine.nyp, fine.nxp), jnp.float32)
+
+        g0 = precond(r_ref[:, :])
+        beta = jnp.sqrt(jnp.sum(g0 * g0))
+        S_ref[:, :] = jnp.full((8, 128), beta, jnp.float32)
+        V_ref[0, :, :] = g0 / jnp.maximum(beta, eps)
+
+        def arnoldi(j, alive):
+            # `alive` freezes the recurrence at happy breakdown: once
+            # the orthogonalized remainder is rounding noise relative
+            # to u (hn <= 1e-5*||u||), continuing would normalize f32
+            # noise into non-orthogonal garbage directions that poison
+            # the reconstructed H. Frozen steps write exact zeros, so
+            # the XLA least squares sees a clean (k+1, k) problem.
+            vj = V_ref[j, :, :]
+            u = alive * precond(_apply(0, W[0], vj))
+            U_ref[j, :, :] = u
+
+            # MGS unrolled at trace time: static V-row loads, and no
+            # nested scan (Mosaic lowers nested fori_loops by Python
+            # recursion — m*(m+1) deep blows the recursion limit)
+            w = u
+            for i in range(m + 1):
+                vi = V_ref[i, :, :]
+                # jnp.float32(0.0), not bare 0.0: a weak-f64 branch
+                # promotes hij to f64 and Mosaic's f64 convert helper
+                # recurses forever (x.astype re-emits the same convert)
+                hij = jnp.where(
+                    jnp.int32(i) <= j,
+                    jnp.sum(vi * w),
+                    jnp.float32(0.0),
+                )
+                w = w - hij * vi
+            hn = jnp.sqrt(jnp.sum(w * w))
+            unorm = jnp.sqrt(jnp.sum(u * u))
+            # f32 literals only: a bare 1.0/0.0 is weak-f64 under x64,
+            # and Mosaic lowers f64 converts by recursive emulation
+            alive = alive * jnp.where(
+                hn > jnp.float32(1e-5) * unorm,
+                jnp.float32(1.0),
+                jnp.float32(0.0),
+            )
+            # explicit i32: under jax_enable_x64 a bare `j + 1` widens
+            # to i64 and Mosaic rejects the mixed-width index add
+            V_ref[j + jnp.int32(1), :, :] = alive * w / jnp.maximum(hn, eps)
+            return alive
+
+        # i32 bounds: Python-int bounds make the loop index i64 under
+        # x64, and every compare/index against it drags in i64 converts
+        jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(m), arnoldi, jnp.float32(1.0)
+        )
+
+    args_np = (
+        [jnp.asarray(l.W) for l in lv]
+        + [jnp.asarray(l.dinv) for l in lv]
+        + [jnp.asarray(b) for b in Bry]
+        + [jnp.asarray(b) for b in Brx]
+        + [jnp.asarray(b) for b in Bpy]
+        + [jnp.asarray(b) for b in Bpx]
+    )
+    zero2 = lambda: (jnp.int32(0), jnp.int32(0))
+    zero3 = lambda: (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    in_specs = [pl.BlockSpec((fine.nyp, fine.nxp), zero2)]
+    for a in args_np:
+        in_specs.append(
+            pl.BlockSpec(a.shape, zero3 if a.ndim == 3 else zero2)
+        )
+
+    call = pl.pallas_call(
+        _kernel,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((m + 1, fine.nyp, fine.nxp), zero3),
+            pl.BlockSpec((m, fine.nyp, fine.nxp), zero3),
+            pl.BlockSpec((8, 128), zero2),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m + 1, fine.nyp, fine.nxp), jnp.float32),
+            jax.ShapeDtypeStruct((m, fine.nyp, fine.nxp), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+    ny, nx = fine.ny, fine.nx
+
+    def inner(r_flat: jnp.ndarray) -> jnp.ndarray:
+        r2 = r_flat.reshape(ny, nx).astype(jnp.float32)
+        r2p = jnp.pad(r2, ((0, fine.nyp - ny), (0, fine.nxp - nx)))
+        V, U, S = call(r2p, *args_np)
+        beta = S[0, 0]
+        # H = V^T (M A V): one batched contraction on the MXU. In f32
+        # this matches the in-kernel MGS coefficients to rounding; the
+        # f64 refinement outer absorbs the difference.
+        H = jnp.einsum(
+            "iyx,jyx->ij", V, U, preferred_element_type=jnp.float32
+        )
+        # the true Arnoldi H is Hessenberg; entries below the first
+        # subdiagonal are f32 orthogonality-loss noise — mask them
+        rows = jnp.arange(m + 1)[:, None]
+        cols = jnp.arange(m)[None, :]
+        H = jnp.where(rows <= cols + 1, H, 0.0)
+        e1 = jnp.zeros(m + 1, jnp.float32).at[0].set(beta)
+        eps32 = jnp.asarray(1e-30, jnp.float32)
+        Q, R = jnp.linalg.qr(H)
+        rhs_ls = Q.T @ e1
+        diag_r = jnp.diagonal(R)
+        Rsafe = R + jnp.diag(
+            jnp.where(jnp.abs(diag_r) < eps32, eps32, 0.0)
+        )
+        y = jax.scipy.linalg.solve_triangular(Rsafe, rhs_ls, lower=False)
+        z = jnp.einsum("i,iyx->yx", y, V[:m])
+        return z[:ny, :nx].reshape(-1)
+
+    def _debug_raw(r_flat):
+        r2 = r_flat.reshape(ny, nx).astype(jnp.float32)
+        r2p = jnp.pad(r2, ((0, fine.nyp - ny), (0, fine.nxp - nx)))
+        return call(r2p, *args_np)
+
+    inner.debug_raw = _debug_raw
     return inner

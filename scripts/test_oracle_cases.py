@@ -93,6 +93,13 @@ def main(argv=None):
     ap.add_argument("--report", default=None, help="write JSON report here")
     ap.add_argument("--start", type=int, default=0, help="skip first N cases")
     ap.add_argument(
+        "--order-file",
+        default=None,
+        help="file with one case_id per line; run cases in that order "
+        "(ids not listed keep dataset order at the end) — used to put "
+        "cheap cases first so a bounded sweep maximizes coverage",
+    )
+    ap.add_argument(
         "--resume-jsonl",
         default=None,
         help="append one JSON line per case here; cases already present "
@@ -105,6 +112,12 @@ def main(argv=None):
     cases = cases[args.start :]
     if args.limit:
         cases = cases[: args.limit]
+    if args.order_file:
+        order = [
+            l.strip() for l in open(args.order_file) if l.strip()
+        ]
+        rank = {cid: i for i, cid in enumerate(order)}
+        cases.sort(key=lambda c: rank.get(c["id"], len(rank)))
 
     done = set()
     if args.resume_jsonl and Path(args.resume_jsonl).exists():
