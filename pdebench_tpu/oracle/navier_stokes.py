@@ -151,17 +151,31 @@ class NavierStokesSolver:
         # f32 inner Arnoldi at native v5e speed; falls back to host LU
         # when unavailable or unconverged
         device_lin = None
-        # Measurements (round 2, TPU v5e): with the velocity
-        # preconditioner fused into one Pallas Richardson kernel
-        # (mixed.saddle_gmg_precond) the device saddle path reaches
-        # PARITY with host SuperLU at benchmark sizes (4.7 vs 4.4 s
-        # under equal load; inner=20 beats inner=60 by 1.4x) but does
-        # not win: the remaining cost is the cell-based gather/scatter
-        # saddle apply inside the f32 Arnoldi. Host LU stays the
-        # default; opt in with PDEBENCH_TPU_NS_DEVICE_NEWTON=1 (useful
-        # when the host CPU is the contended resource, or at larger
-        # sizes where factorization cost dominates).
-        if os.environ.get("PDEBENCH_TPU_NS_DEVICE_NEWTON", "0") == "1":
+        # Round-2 measurements (TPU v5e): with the cell-based saddle
+        # apply the device path only reached PARITY with host SuperLU
+        # (4.7 vs 4.4 s under equal load) — the gather/scatter apply
+        # inside the f32 Arnoldi was the cost. The nested-lattice
+        # stencil saddle apply (solvers.saddle_stencil) removes it:
+        # per-Newton-step block weights scatter in-jit
+        # (BlockLatticeWeightMap), every matvec is shifted multiply-
+        # adds. Auto-enabled on TPU when the Taylor-Hood pair is a
+        # nested lattice; PDEBENCH_TPU_NS_DEVICE_NEWTON=0/1 overrides
+        # (=1 also forces the cell-based apply on non-lattice meshes).
+        _dev_env = os.environ.get("PDEBENCH_TPU_NS_DEVICE_NEWTON", "")
+        _on_tpu = False
+        try:
+            _on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        except Exception:
+            pass
+        sst = None
+        try:
+            if _dev_env == "1" or (_dev_env != "0" and _on_tpu):
+                from ..solvers.saddle_stencil import build_saddle_stencil
+
+                sst = build_saddle_stencil(V, Q, np.asarray(G_loc))
+        except Exception:
+            sst = None
+        if _dev_env == "1" or (_dev_env != "0" and _on_tpu and sst is not None):
             try:
                 M_block = mixed.saddle_gmg_precond(
                     V, nu, cb, ctx.psi, dofmap_p, Q.ndof, ctx.mask
@@ -183,13 +197,20 @@ class NavierStokesSolver:
 
                 @jax.jit
                 def device_lin(Ju, rhs):
-                    apply64 = mixed.saddle_apply(
-                        Ju, G_loc, dofmap_u, dofmap_p, V.ndof, Q.ndof
-                    )
-                    apply32 = mixed.saddle_apply(
-                        Ju.astype(jnp.float32), G32,
-                        dofmap_u, dofmap_p, V.ndof, Q.ndof,
-                    )
+                    if sst is not None:
+                        WA64 = sst.wmapA.weights(Ju)
+                        apply64 = sst.saddle_apply_w(WA64)
+                        apply32 = sst.saddle_apply_w(
+                            WA64.astype(jnp.float32)
+                        )
+                    else:
+                        apply64 = mixed.saddle_apply(
+                            Ju, G_loc, dofmap_u, dofmap_p, V.ndof, Q.ndof
+                        )
+                        apply32 = mixed.saddle_apply(
+                            Ju.astype(jnp.float32), G32,
+                            dofmap_u, dofmap_p, V.ndof, Q.ndof,
+                        )
                     A64 = _con_op(apply64, mask_j)
                     A32 = _con_op(apply32, mask_j)
                     M32 = lambda r: M_block(r).astype(jnp.float32)

@@ -204,6 +204,96 @@ def lattice_weight_map(
     return wm
 
 
+class BlockLatticeWeightMap:
+    """Jittable blocked local-matrix -> block-stencil-weight scatter.
+
+    The vector analog of LatticeWeightMap: per-step Newton Jacobians of
+    VECTOR systems (the Navier-Stokes velocity block) share the mesh
+    adjacency of the constant part, so the scalar-node offsets are
+    fixed and only the (d x d)-block weights change. `weights()` turns
+    a traced blocked local batch (c, nl*d, nl*d) into block stencil
+    weights (K, *shape, d, d) with one scatter-add.
+    """
+
+    def __init__(self, lattice: Lattice, dofmap_scalar: np.ndarray, ncomp: int):
+        shape = lattice.shape
+        dim = len(shape)
+        d = int(ncomp)
+        n_lat = int(np.prod(shape))
+        dm = np.asarray(dofmap_scalar)
+        site = lattice.inv[dm]  # (c, nl)
+        coords = []
+        rem = site
+        for s in reversed(shape):
+            coords.append(rem % s)
+            rem = rem // s
+        coords = np.stack(list(reversed(coords)), axis=-1)  # (c, nl, dim)
+        doff = coords[:, None, :, :] - coords[:, :, None, :]  # (c, i, j, dim)
+        offs, o_idx = _unique_offsets(doff.reshape(-1, dim))
+        self.offsets = [tuple(int(v) for v in o) for o in offs]
+        self.pad = int(np.abs(offs).max()) if len(offs) else 0
+        self.shape = shape
+        self.ncomp = d
+        c, nl = site.shape
+        rows = np.broadcast_to(site[:, :, None], (c, nl, nl))
+        base_idx = o_idx.reshape(c, nl, nl) * n_lat + rows  # (c, i, j)
+        # blocked local batch index order is [c, i*d+a, j*d+b] —
+        # build flat targets in that order: (c, i, a, j, b)
+        a = np.arange(d)
+        flat = (
+            (base_idx[:, :, None, :, None] * d + a[None, None, :, None, None])
+            * d
+            + a[None, None, None, None, :]
+        )
+        self._flat_np = flat.reshape(-1)
+        self._n = len(self.offsets) * n_lat * d * d
+        idx_dtype = jnp.int32 if self._n <= 2**31 - 1 else jnp.int64
+        self._flat = jnp.asarray(self._flat_np, dtype=idx_dtype)
+
+    def weights(self, A_local: jnp.ndarray) -> jnp.ndarray:
+        """(c, nl*d, nl*d) blocked batch -> (K,) + shape + (d, d)."""
+        W = jnp.zeros(self._n, A_local.dtype).at[self._flat].add(
+            A_local.reshape(-1)
+        )
+        return W.reshape(
+            (len(self.offsets),) + self.shape + (self.ncomp, self.ncomp)
+        )
+
+    def weights_np(self, A_local_np: np.ndarray) -> np.ndarray:
+        """Host-side build (setup paths: no eager device scatters)."""
+        W = np.bincount(
+            self._flat_np,
+            weights=np.asarray(A_local_np, dtype=np.float64).reshape(-1),
+            minlength=self._n,
+        )
+        return W.reshape(
+            (len(self.offsets),) + self.shape + (self.ncomp, self.ncomp)
+        )
+
+    def apply_grid(self, W: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+        """u: shape + (d,) lattice array -> same shape."""
+        pad_widths = [(self.pad, self.pad)] * len(self.shape) + [(0, 0)]
+        up = jnp.pad(u, pad_widths)
+        out = jnp.zeros_like(u)
+        for k, off in enumerate(self.offsets):
+            start = tuple(self.pad + o for o in off) + (0,)
+            tap = jax.lax.dynamic_slice(
+                up, start, self.shape + (self.ncomp,)
+            )
+            out = out + jnp.einsum("...ab,...b->...a", W[k], tap)
+        return out
+
+
+def block_lattice_weight_map(
+    lattice: Lattice, dofmap_scalar: np.ndarray, ncomp: int, max_pad: int = 4
+) -> Optional[BlockLatticeWeightMap]:
+    """BlockLatticeWeightMap, or None for non-compact adjacency."""
+    wm = BlockLatticeWeightMap(lattice, dofmap_scalar, ncomp)
+    if wm.pad == 0 or wm.pad > max_pad:
+        return None
+    return wm
+
+
 class LatticeOperator:
     """Stencil form of a lattice-structured sparse matrix."""
 
