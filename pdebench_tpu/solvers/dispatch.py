@@ -170,41 +170,69 @@ def solve_constrained_ir(
             # but the preconditioner V-cycle chain does: a fused LINEAR
             # 2-V-cycle Richardson replaces the launch-bound XLA V-cycle
             # inside the Arnoldi iteration.
-            if step_weights is None:
-                try:
-                    import jax as _jax
+            try:
+                import jax as _jax
 
-                    gmg_kind = type(gmg).__name__
-                    if _jax.devices()[0].platform in (
-                        "tpu", "axon",
-                    ) and gmg_kind in ("LatticeGMG", "BlockLatticeGMG"):
-                        from .gmg_fused import (
-                            build_fused_block_inner_cg,
-                            build_fused_inner_cg,
-                            build_fused_inner_gmres,
-                            build_fused_richardson,
+                gmg_kind = type(gmg).__name__
+                if _jax.devices()[0].platform in (
+                    "tpu", "axon",
+                ) and gmg_kind in ("LatticeGMG", "BlockLatticeGMG"):
+                    from .gmg_fused import (
+                        build_fused_block_inner_cg,
+                        build_fused_inner_cg,
+                        build_fused_inner_gmres,
+                        build_fused_richardson,
+                    )
+
+                    if step_weights is not None:
+                        # time-varying operator: the whole Arnoldi cycle
+                        # still fuses — the freshly scattered weights go
+                        # in as a kernel INPUT (constrained once per
+                        # step), the constant-part hierarchy stays the
+                        # preconditioner
+                        if inner == "gmres" and gmg_kind == "LatticeGMG":
+                            from .stencil import constrain_step_weights
+
+                            _wm, _W32s = step_weights
+                            # bigger budget: the per-step weights ride
+                            # along as an input (P2 fine stencils are
+                            # ~8 MB at res 128); v5e has 128 MB VMEM
+                            fg = build_fused_inner_gmres(
+                                gmg, inner_iters,
+                                step_offsets=_wm.offsets,
+                                vmem_budget=40_000_000,
+                            )
+                            if fg is not None:
+                                keep2 = (
+                                    1.0
+                                    - mask_lat.astype(jnp.float32)
+                                ).reshape(gshape)
+                                _W32c = constrain_step_weights(
+                                    _W32s, _wm.offsets, keep2
+                                )
+                                inner_custom = (
+                                    lambda r, _f=fg, _w=_W32c: _f(r, _w)
+                                )
+                    elif inner == "cg":
+                        builder = (
+                            build_fused_inner_cg
+                            if gmg_kind == "LatticeGMG"
+                            else build_fused_block_inner_cg
                         )
-
-                        if inner == "cg":
-                            builder = (
-                                build_fused_inner_cg
-                                if gmg_kind == "LatticeGMG"
-                                else build_fused_block_inner_cg
-                            )
-                            inner_custom = builder(gmg, inner_iters)
-                        elif gmg_kind == "LatticeGMG":
-                            # whole Arnoldi cycle in one kernel; if the
-                            # basis exceeds VMEM, fall back to the XLA
-                            # cycle with a fused 2-V-cycle M
-                            inner_custom = build_fused_inner_gmres(
-                                gmg, inner_iters
-                            )
-                            if inner_custom is None:
-                                fr = build_fused_richardson(gmg, 2)
-                                if fr is not None:
-                                    M32 = fr
-                except Exception:
-                    inner_custom = None
+                        inner_custom = builder(gmg, inner_iters)
+                    elif gmg_kind == "LatticeGMG":
+                        # whole Arnoldi cycle in one kernel; if the
+                        # basis exceeds VMEM, fall back to the XLA
+                        # cycle with a fused 2-V-cycle M
+                        inner_custom = build_fused_inner_gmres(
+                            gmg, inner_iters
+                        )
+                        if inner_custom is None:
+                            fr = build_fused_richardson(gmg, 2)
+                            if fr is not None:
+                                M32 = fr
+            except Exception:
+                inner_custom = None
 
         else:
             diag_lat = emb.embed(

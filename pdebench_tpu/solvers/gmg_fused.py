@@ -635,9 +635,10 @@ def build_fused_block_inner_cg(
 def build_fused_inner_gmres(
     gmg,
     inner_iters: int,
-    vmem_budget=10_000_000,
+    vmem_budget=24_000_000,
     interpret: bool = False,
     precond_cycles: int = 2,
+    step_offsets=None,
 ):
     """Fused left-preconditioned Arnoldi cycle as ONE Pallas kernel —
     the GMRES analog of build_fused_inner_cg, for the nonsymmetric /
@@ -657,8 +658,16 @@ def build_fused_inner_gmres(
     statically-bounded MGS loop never multiplies uninitialized VMEM
     (0*NaN would poison the basis).
 
-    Returns fn(r_lat_flat_f32) -> z_lat_flat_f32 or None if out of
-    scope (non-2-D, or VMEM budget exceeded).
+    step_offsets: offsets of a PER-CALL operator stencil (time-varying
+    systems in scans — lagged Burgers convection, Newton Jacobians,
+    LatticeWeightMap.offsets). The returned fn then takes the freshly
+    scattered, ALREADY-CONSTRAINED fine weights as a second argument
+    (fn(r_lat_flat_f32, W_op (K, ny, nx))): the Arnoldi operator apply
+    uses them while the V-cycle preconditioner keeps the constant-part
+    hierarchy — the fused analog of dispatch's step_weights path.
+
+    Returns fn(r_lat_flat_f32[, W_op]) -> z_lat_flat_f32 or None if out
+    of scope (non-2-D, or VMEM budget exceeded).
     """
     if not _HAS_PLTPU:
         return None
@@ -678,6 +687,22 @@ def build_fused_inner_gmres(
 
     fine = lv[0]
     plane = fine.nyp * fine.nxp * 4
+    has_op = step_offsets is not None
+    op_offsets = None
+    if has_op:
+        op_offsets = [tuple(int(v) for v in o) for o in step_offsets]
+        pad_op = max(
+            (abs(o) for off in op_offsets for o in off), default=0
+        )
+        # the roll taps bring only zeros across the wrap exactly when
+        # the alignment margin covers the offset reach
+        if (
+            fine.nyp - fine.ny < pad_op
+            or fine.nxp - fine.nx < pad_op
+            or pad_op == 0
+        ):
+            return None
+        total += len(op_offsets) * plane
     # V (m+1) + U (m) + ~5 work planes; shrink the cycle length until
     # the basis fits — a shorter fused cycle still beats the XLA cycle
     # per outer, and the f64 refinement outers absorb the difference
@@ -700,27 +725,35 @@ def build_fused_inner_gmres(
         for l in lv
     ]
 
-    def _apply(l, W, u):
+    def _apply_offs(offsets, nyp, nxp, W, u):
         out = None
-        for k, (dy, dx) in enumerate(meta[l]["offsets"]):
+        for k, (dy, dx) in enumerate(offsets):
             t = u
-            sy = (-dy) % meta[l]["nyp"]
+            sy = (-dy) % nyp
             if sy:
                 t = pltpu.roll(t, jnp.int32(sy), axis=0)
-            sx = (-dx) % meta[l]["nxp"]
+            sx = (-dx) % nxp
             if sx:
                 t = pltpu.roll(t, jnp.int32(sx), axis=1)
             contrib = W[k] * t
             out = contrib if out is None else out + contrib
         return out
 
+    def _apply(l, W, u):
+        return _apply_offs(
+            meta[l]["offsets"], meta[l]["nyp"], meta[l]["nxp"], W, u
+        )
+
+    _ho = 1 if has_op else 0
+
     def _kernel(*refs):
-        # refs: r, W_0.., dinv_0.., Bry.., Brx.., Bpy.., Bpx..,
+        # refs: r, [W_op,] W_0.., dinv_0.., Bry.., Brx.., Bpy.., Bpx..,
         #       V_out, U_out, S_out
         r_ref = refs[0]
-        Ws = refs[1 : 1 + n_lv]
-        Ds = refs[1 + n_lv : 1 + 2 * n_lv]
-        k0 = 1 + 2 * n_lv
+        Wop = refs[1][:, :, :] if has_op else None
+        Ws = refs[1 + _ho : 1 + _ho + n_lv]
+        Ds = refs[1 + _ho + n_lv : 1 + _ho + 2 * n_lv]
+        k0 = 1 + _ho + 2 * n_lv
         nb = n_lv - 1
         By = [b[:, :] for b in refs[k0 : k0 + nb]]
         Bx = [b[:, :] for b in refs[k0 + nb : k0 + 2 * nb]]
@@ -778,7 +811,13 @@ def build_fused_inner_gmres(
             # the reconstructed H. Frozen steps write exact zeros, so
             # the XLA least squares sees a clean (k+1, k) problem.
             vj = V_ref[j, :, :]
-            u = alive * precond(_apply(0, W[0], vj))
+            if has_op:
+                Avj = _apply_offs(
+                    op_offsets, fine.nyp, fine.nxp, Wop, vj
+                )
+            else:
+                Avj = _apply(0, W[0], vj)
+            u = alive * precond(Avj)
             U_ref[j, :, :] = u
 
             # MGS unrolled at trace time: static V-row loads, and no
@@ -827,6 +866,12 @@ def build_fused_inner_gmres(
     zero2 = lambda: (jnp.int32(0), jnp.int32(0))
     zero3 = lambda: (jnp.int32(0), jnp.int32(0), jnp.int32(0))
     in_specs = [pl.BlockSpec((fine.nyp, fine.nxp), zero2)]
+    if has_op:
+        in_specs.append(
+            pl.BlockSpec(
+                (len(op_offsets), fine.nyp, fine.nxp), zero3
+            )
+        )
     for a in args_np:
         in_specs.append(
             pl.BlockSpec(a.shape, zero3 if a.ndim == 3 else zero2)
@@ -850,10 +895,17 @@ def build_fused_inner_gmres(
 
     ny, nx = fine.ny, fine.nx
 
-    def inner(r_flat: jnp.ndarray) -> jnp.ndarray:
+    def inner(r_flat: jnp.ndarray, W_op=None) -> jnp.ndarray:
         r2 = r_flat.reshape(ny, nx).astype(jnp.float32)
         r2p = jnp.pad(r2, ((0, fine.nyp - ny), (0, fine.nxp - nx)))
-        V, U, S = call(r2p, *args_np)
+        if has_op:
+            Wp = jnp.pad(
+                W_op.astype(jnp.float32),
+                ((0, 0), (0, fine.nyp - ny), (0, fine.nxp - nx)),
+            )
+            V, U, S = call(r2p, Wp, *args_np)
+        else:
+            V, U, S = call(r2p, *args_np)
         beta = S[0, 0]
         # H = V^T (M A V): one batched contraction on the MXU. In f32
         # this matches the in-kernel MGS coefficients to rounding; the
@@ -878,9 +930,15 @@ def build_fused_inner_gmres(
         z = jnp.einsum("i,iyx->yx", y, V[:m])
         return z[:ny, :nx].reshape(-1)
 
-    def _debug_raw(r_flat):
+    def _debug_raw(r_flat, W_op=None):
         r2 = r_flat.reshape(ny, nx).astype(jnp.float32)
         r2p = jnp.pad(r2, ((0, fine.nyp - ny), (0, fine.nxp - nx)))
+        if has_op:
+            Wp = jnp.pad(
+                W_op.astype(jnp.float32),
+                ((0, 0), (0, fine.nyp - ny), (0, fine.nxp - nx)),
+            )
+            return call(r2p, Wp, *args_np)
         return call(r2p, *args_np)
 
     inner.debug_raw = _debug_raw

@@ -529,6 +529,30 @@ def constrain_stencil_weights(
     return W
 
 
+def constrain_step_weights(
+    W: jnp.ndarray, offsets, keep: jnp.ndarray
+) -> jnp.ndarray:
+    """Traced Dirichlet-constraining of freshly scattered stencil
+    weights (per-step operators inside scans): zero rows at masked
+    points, zero taps with masked sources, unit diagonal at masked
+    points. `keep` is the lattice-shaped f32 free-site indicator
+    (1 = free); equivalent to wrapping the raw apply in
+    where(mask, v, raw(where(mask, 0, v))) but done once per step so a
+    fused kernel can consume plain weight planes."""
+    pad = int(max(abs(o) for off in offsets for o in off))
+    kp = jnp.pad(keep, pad)
+    outs = []
+    for off in offsets:
+        src = jax.lax.dynamic_slice(
+            kp, tuple(pad + o for o in off), keep.shape
+        )
+        Wk = W[len(outs)] * keep * src
+        if all(o == 0 for o in off):
+            Wk = Wk + (1.0 - keep)
+        outs.append(Wk)
+    return jnp.stack(outs)
+
+
 def block_lattice_operator_from_local(
     A_local, dofmap, ndof: int, scalar_dof_coords: np.ndarray, ncomp: int,
     dtype=jnp.float64,

@@ -167,6 +167,59 @@ def test_fused_inner_gmres_matches_xla_cycle():
     assert rel < 1e-3, rel
 
 
+def test_fused_inner_gmres_step_weights_matches_baked():
+    """With step_offsets, the kernel takes the freshly scattered
+    (constrained) operator weights as an input; feeding it the SAME
+    operator the hierarchy was built from must reproduce the baked-
+    operator kernel (the per-step Burgers/Newton path)."""
+    from pdebench_tpu.fem.assemble import local_advection
+    from pdebench_tpu.solvers.gmg_fused import build_fused_inner_gmres
+    from pdebench_tpu.solvers.stencil import (
+        constrain_step_weights,
+        lattice_weight_map,
+    )
+
+    space, lat32, mask = _setup_nonsym()
+    m = 8
+    baked = build_fused_inner_gmres(lat32.gmg, m, interpret=True)
+    wm = lattice_weight_map(lat32.lattice, space.dofmap_scalar)
+    assert wm is not None
+    stepf = build_fused_inner_gmres(
+        lat32.gmg, m, interpret=True, step_offsets=wm.offsets
+    )
+    assert baked is not None and stepf is not None
+
+    # rebuild the same operator through the per-step path
+    mesh = unit_square_mesh(48)
+    cb = cell_batch(mesh, 1)
+    beta_q = jnp.stack(
+        [jnp.ones_like(cb.qpts[..., 0]), 0.5 * jnp.ones_like(cb.qpts[..., 0])],
+        axis=-1,
+    )
+    A32 = (local_stiffness(cb) + local_advection(cb, beta_q)).astype(
+        jnp.float32
+    )
+    W32 = wm.weights(A32)
+    mask_lat = lat32.embedding.embed_np(mask, True)
+    keep2 = jnp.asarray(
+        (1.0 - mask_lat.astype(np.float32)).reshape(lat32.grid_shape)
+    )
+    W32c = constrain_step_weights(W32, wm.offsets, keep2)
+
+    rng = np.random.default_rng(5)
+    r = rng.standard_normal(space.ndof)
+    r[mask] = 0.0
+    r_lat = jnp.asarray(
+        lat32.embedding.embed_np(r.astype(np.float32), 0.0)
+    )
+    z_baked = np.asarray(baked(r_lat))
+    z_step = np.asarray(stepf(r_lat, W32c))
+    assert np.all(np.isfinite(z_step))
+    np.testing.assert_allclose(
+        z_step, z_baked, rtol=2e-4, atol=2e-4 * np.abs(z_baked).max()
+    )
+
+
 def test_fused_inner_gmres_vmem_gate():
     from pdebench_tpu.solvers.gmg_fused import build_fused_inner_gmres
 
