@@ -19,9 +19,12 @@ VMEM, so this kernel keeps the ENTIRE inner CG resident:
     diag and transfer pads are zero, so every op preserves the
     invariant)
 
-Scope: 2-D lattices, f32, total VMEM footprint under ~10 MB (P1
-benchmark meshes; P2's 25-plane fine stencils at res>=150 exceed it and
-keep the XLA path).
+Scope: scalar 2-D and 3-D lattices (3-D flattens into slab-packed 2-D
+planes, _Level3), block (vector) 2-D lattices, CG / GMRES / Richardson
+inners, constant or per-step (scan-traced) fine operators. All f32;
+per-kernel budgets are checked against the raised Mosaic scoped-vmem
+limit (_VMEM_LIMIT; the 16 MB default is far below the 128 MB v5e
+VMEM).
 """
 
 from __future__ import annotations
@@ -42,6 +45,19 @@ except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
 COARSE_SWEEPS = 10
+
+# Mosaic's scoped-vmem default is 16 MB — far below the 128 MB v5e
+# VMEM. The fused kernels keep whole hierarchies + Krylov bases
+# resident, so raise the per-kernel limit (measured OOM: m=20 basis +
+# P2 res-128 weights needs ~27 MB of stack).
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _tpu_params():
+    try:
+        return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+    except Exception:  # pragma: no cover - older pallas API
+        return None
 
 
 def _ru(v: int, m: int) -> int:
@@ -91,71 +107,167 @@ class _Level:
         self.dinv[:ny, :nx] = omega * np.asarray(diag_inv, np.float32)
 
 
+class _Level3:
+    """A 3-D lattice level flattened into slab-packed 2-D planes.
+
+    Row index = z * nyp_s + y with nyp_s = ny + pad zero rows between
+    slabs: every 3-D stencil offset (dz, dy, dx) becomes the single
+    2-D offset (dz * nyp_s + dy, dx), so the 2-D kernel body (rolls,
+    banded-matmul transfers, Jacobi sweeps) runs UNCHANGED on 3-D
+    problems. The inter-slab zero rows guarantee y-shifts never bleed
+    across slabs, and the trailing row pad covers the largest combined
+    shift so rolls still only wrap zeros."""
+
+    def __init__(self, W, offsets, pad, shape, diag_inv, omega):
+        nz, ny, nx = shape
+        self.shape3 = tuple(shape)
+        self.pad = pad
+        self.nyp_s = ny + pad
+        rows = nz * self.nyp_s
+        self.ny, self.nx = rows, nx  # flattened logical dims
+        self.nyp = _ru(rows + pad * self.nyp_s + pad, 8)
+        self.nxp = _ru(nx + pad, 128)
+        self.offsets = [
+            (dz * self.nyp_s + dy, dx) for (dz, dy, dx) in offsets
+        ]
+        K = W.shape[0]
+        self.W = np.zeros((K, self.nyp, self.nxp), np.float32)
+        self.dinv = np.zeros((self.nyp, self.nxp), np.float32)
+        for z in range(nz):
+            r0 = z * self.nyp_s
+            self.W[:, r0 : r0 + ny, :nx] = np.asarray(W[:, z], np.float32)
+            self.dinv[r0 : r0 + ny, :nx] = omega * np.asarray(
+                diag_inv[z], np.float32
+            )
+
+    def embed3(self, r_flat: jnp.ndarray) -> jnp.ndarray:
+        """Flat (nz*ny*nx) lattice vector -> packed 2-D plane."""
+        nz, ny, nx = self.shape3
+        r3 = r_flat.reshape(self.shape3)
+        r3p = jnp.pad(
+            r3, ((0, 0), (0, self.nyp_s - ny), (0, self.nxp - nx))
+        )
+        r2 = r3p.reshape(nz * self.nyp_s, self.nxp)
+        return jnp.pad(r2, ((0, self.nyp - nz * self.nyp_s), (0, 0)))
+
+    def extract3(self, z2: jnp.ndarray) -> jnp.ndarray:
+        nz, ny, nx = self.shape3
+        z3 = z2[: nz * self.nyp_s].reshape(nz, self.nyp_s, self.nxp)
+        return z3[:, :ny, :nx].reshape(-1)
+
+    def embedW3(self, W: jnp.ndarray) -> jnp.ndarray:
+        """(K, nz, ny, nx) weight planes -> slab-packed (K, nyp, nxp)."""
+        nz, ny, nx = self.shape3
+        Wp = jnp.pad(
+            W,
+            ((0, 0), (0, 0), (0, self.nyp_s - ny), (0, self.nxp - nx)),
+        )
+        W2 = Wp.reshape(W.shape[0], nz * self.nyp_s, self.nxp)
+        return jnp.pad(
+            W2, ((0, 0), (0, self.nyp - nz * self.nyp_s), (0, 0))
+        )
+
+
+def _probe_extra_coarse(levels):
+    """Re-probe one level below the GMG's last (any dim), numpy-only
+    (the builder runs at TRACE time inside jitted scans, where any jnp
+    op gets staged). Returns (W, offsets, pad, shape, diag_inv, omega)
+    or None when the last level isn't halvable."""
+    from .gmg import _apply_stencil_np, _coarsen_stencil
+
+    if not all((s - 1) % 2 == 0 and s >= 5 for s in levels[-1].shape):
+        return None
+    Wc, offs_c, shape_c = _coarsen_stencil(
+        np.asarray(levels[-1].W, np.float64),
+        [tuple(o) for o in levels[-1].offsets],
+        levels[-1].shape,
+    )
+    diag_c = None
+    for k, off in enumerate(offs_c):
+        if all(o == 0 for o in off):
+            diag_c = Wc[k]
+    diag_c = np.where(np.abs(diag_c) > 1e-300, diag_c, 1.0)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(shape_c)
+    lam = 1.0
+    for _ in range(8):
+        x = _apply_stencil_np(Wc, offs_c, x) / diag_c
+        nrm = np.linalg.norm(x)
+        if nrm == 0:
+            break
+        lam = nrm
+        x /= nrm
+    pad_c = int(max(abs(o) for off in offs_c for o in off))
+    return (
+        Wc, [tuple(o) for o in offs_c], pad_c, shape_c,
+        1.0 / diag_c, float(0.9 / max(lam, 1e-12)),
+    )
+
+
 def _scalar_hierarchy(gmg):
     """Shared scalar-lattice hierarchy construction: padded levels, an
     extra probed coarsest level (smoothed on its stencil instead of the
     XLA path's dense pinv), and the per-level-pair transfer bands.
+    2-D levels map directly; 3-D levels flatten into slab-packed 2-D
+    planes (_Level3) with kron'd z*y left-transfer bands.
     Returns (lv, Bry, Brx, Bpy, Bpx, static_bytes) or None."""
     levels = getattr(gmg, "levels", None)
-    if not levels or len(levels[0].shape) != 2:
+    if not levels or len(levels[0].shape) not in (2, 3):
         return None
+    is3d = len(levels[0].shape) == 3
+    cls = _Level3 if is3d else _Level
 
-    lv: List[_Level] = [
-        _Level(
-            np.asarray(l.W), l.offsets, l.pad, l.shape,
-            np.asarray(l.diag_inv), l.omega,
+    lv = [
+        cls(
+            np.asarray(l.W), [tuple(o) for o in l.offsets], l.pad,
+            l.shape, np.asarray(l.diag_inv), l.omega,
         )
         for l in levels
     ]
     # coarsest stencil: re-probe one level below the last, when the
     # last level is still halvable
-    from .gmg import _coarsen_stencil
-
-    if all((s - 1) % 2 == 0 and s >= 5 for s in levels[-1].shape):
-        Wc, offs_c, shape_c = _coarsen_stencil(
-            np.asarray(levels[-1].W, np.float64),
-            [tuple(o) for o in levels[-1].offsets],
-            levels[-1].shape,
-        )
-        # numpy-only level build: the builder runs at TRACE time inside
-        # jitted scans, where any jnp op gets staged (_level_from_np's
-        # jnp.asarray would yield tracers)
-        diag_c = None
-        for k, off in enumerate(offs_c):
-            if all(o == 0 for o in off):
-                diag_c = Wc[k]
-        diag_c = np.where(np.abs(diag_c) > 1e-300, diag_c, 1.0)
-        from .gmg import _apply_stencil_np
-
-        rng = np.random.default_rng(0)
-        x = rng.standard_normal(shape_c)
-        lam = 1.0
-        for _ in range(8):
-            x = _apply_stencil_np(Wc, offs_c, x) / diag_c
-            nrm = np.linalg.norm(x)
-            if nrm == 0:
-                break
-            lam = nrm
-            x /= nrm
-        pad_c = int(max(abs(o) for off in offs_c for o in off))
-        lv.append(
-            _Level(
-                Wc, [tuple(o) for o in offs_c], pad_c, shape_c,
-                1.0 / diag_c, float(0.9 / max(lam, 1e-12)),
-            )
-        )
+    extra = _probe_extra_coarse(levels)
+    shapes = [l.shape for l in levels]
+    if extra is not None:
+        lv.append(cls(*extra))
+        shapes.append(extra[3])
 
     # transfer bands, padded into each level pair's layouts
     Bry, Brx, Bpy, Bpx = [], [], [], []
-    for f, c in zip(lv[:-1], lv[1:]):
-        by = np.zeros((c.nyp, f.nyp), np.float32)
-        by[: (f.ny - 1) // 2 + 1, : f.ny] = _restrict_band(f.ny)
-        bx = np.zeros((c.nxp, f.nxp), np.float32)
-        bx[: (f.nx - 1) // 2 + 1, : f.nx] = _restrict_band(f.nx)
-        py = np.zeros((f.nyp, c.nyp), np.float32)
-        py[: f.ny, : c.ny] = _prolong_band(f.ny)
-        px = np.zeros((f.nxp, c.nxp), np.float32)
-        px[: f.nx, : c.nx] = _prolong_band(f.nx)
+    for i, (f, c) in enumerate(zip(lv[:-1], lv[1:])):
+        if is3d:
+            nz_f, ny_f, nx_f = shapes[i]
+            nz_c, ny_c, nx_c = shapes[i + 1]
+            # left transfer = kron(Bz, By) placed at slab-packed rows
+            Bz_r, By_r = _restrict_band(nz_f), _restrict_band(ny_f)
+            Bz_p, By_p = _prolong_band(nz_f), _prolong_band(ny_f)
+            rc = (
+                np.arange(nz_c)[:, None] * c.nyp_s + np.arange(ny_c)[None, :]
+            )
+            rf = (
+                np.arange(nz_f)[:, None] * f.nyp_s + np.arange(ny_f)[None, :]
+            )
+            by = np.zeros((c.nyp, f.nyp), np.float32)
+            by[rc.reshape(-1)[:, None], rf.reshape(-1)[None, :]] = np.einsum(
+                "ab,cd->acbd", Bz_r, By_r
+            ).reshape(nz_c * ny_c, nz_f * ny_f)
+            py = np.zeros((f.nyp, c.nyp), np.float32)
+            py[rf.reshape(-1)[:, None], rc.reshape(-1)[None, :]] = np.einsum(
+                "ab,cd->acbd", Bz_p, By_p
+            ).reshape(nz_f * ny_f, nz_c * ny_c)
+            bx = np.zeros((c.nxp, f.nxp), np.float32)
+            bx[: (nx_f - 1) // 2 + 1, :nx_f] = _restrict_band(nx_f)
+            px = np.zeros((f.nxp, c.nxp), np.float32)
+            px[:nx_f, :nx_c] = _prolong_band(nx_f)
+        else:
+            by = np.zeros((c.nyp, f.nyp), np.float32)
+            by[: (f.ny - 1) // 2 + 1, : f.ny] = _restrict_band(f.ny)
+            bx = np.zeros((c.nxp, f.nxp), np.float32)
+            bx[: (f.nx - 1) // 2 + 1, : f.nx] = _restrict_band(f.nx)
+            py = np.zeros((f.nyp, c.nyp), np.float32)
+            py[: f.ny, : c.ny] = _prolong_band(f.ny)
+            px = np.zeros((f.nxp, c.nxp), np.float32)
+            px[: f.nx, : c.nx] = _prolong_band(f.nx)
         Bry.append(by)
         Brx.append(bx)
         Bpy.append(py)
@@ -323,11 +435,15 @@ def build_fused_inner_cg(
         ),
         out_shape=jax.ShapeDtypeStruct((fine.nyp, fine.nxp), jnp.float32),
         interpret=interpret,
+        compiler_params=_tpu_params(),
     )
 
     ny, nx = fine.ny, fine.nx
 
     def inner(r_flat: jnp.ndarray) -> jnp.ndarray:
+        if isinstance(fine, _Level3):
+            z = call(fine.embed3(r_flat.astype(jnp.float32)), *args_np)
+            return fine.extract3(z)
         r2 = r_flat.reshape(ny, nx).astype(jnp.float32)
         r2p = jnp.pad(
             r2, ((0, fine.nyp - ny), (0, fine.nxp - nx))
@@ -610,6 +726,7 @@ def build_fused_block_inner_cg(
             jax.ShapeDtypeStruct((fine.nyp, fine.nxp), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_tpu_params(),
     )
 
     ny, nx = fine.ny, fine.nx
@@ -691,15 +808,24 @@ def build_fused_inner_gmres(
     op_offsets = None
     if has_op:
         op_offsets = [tuple(int(v) for v in o) for o in step_offsets]
-        pad_op = max(
-            (abs(o) for off in op_offsets for o in off), default=0
-        )
+        if not op_offsets:
+            return None
+        if isinstance(fine, _Level3):
+            # 3-D per-step offsets flatten like the hierarchy's own;
+            # y-reach must fit the inter-slab margin
+            if max(abs(o[1]) for o in op_offsets) > fine.pad:
+                return None
+            op_offsets = [
+                (dz * fine.nyp_s + dy, dx) for (dz, dy, dx) in op_offsets
+            ]
+        pad_row = max(abs(o[0]) for o in op_offsets)
+        pad_x = max(abs(o[1]) for o in op_offsets)
         # the roll taps bring only zeros across the wrap exactly when
         # the alignment margin covers the offset reach
         if (
-            fine.nyp - fine.ny < pad_op
-            or fine.nxp - fine.nx < pad_op
-            or pad_op == 0
+            fine.nyp - fine.ny < pad_row
+            or fine.nxp - fine.nx < pad_x
+            or pad_row + pad_x == 0
         ):
             return None
         total += len(op_offsets) * plane
@@ -891,18 +1017,27 @@ def build_fused_inner_gmres(
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_tpu_params(),
     )
 
     ny, nx = fine.ny, fine.nx
 
     def inner(r_flat: jnp.ndarray, W_op=None) -> jnp.ndarray:
-        r2 = r_flat.reshape(ny, nx).astype(jnp.float32)
-        r2p = jnp.pad(r2, ((0, fine.nyp - ny), (0, fine.nxp - nx)))
-        if has_op:
-            Wp = jnp.pad(
-                W_op.astype(jnp.float32),
-                ((0, 0), (0, fine.nyp - ny), (0, fine.nxp - nx)),
+        if isinstance(fine, _Level3):
+            r2p = fine.embed3(r_flat.astype(jnp.float32))
+        else:
+            r2 = r_flat.reshape(ny, nx).astype(jnp.float32)
+            r2p = jnp.pad(
+                r2, ((0, fine.nyp - ny), (0, fine.nxp - nx))
             )
+        if has_op:
+            if isinstance(fine, _Level3):
+                Wp = fine.embedW3(W_op.astype(jnp.float32))
+            else:
+                Wp = jnp.pad(
+                    W_op.astype(jnp.float32),
+                    ((0, 0), (0, fine.nyp - ny), (0, fine.nxp - nx)),
+                )
             V, U, S = call(r2p, Wp, *args_np)
         else:
             V, U, S = call(r2p, *args_np)
@@ -928,6 +1063,8 @@ def build_fused_inner_gmres(
         )
         y = jax.scipy.linalg.solve_triangular(Rsafe, rhs_ls, lower=False)
         z = jnp.einsum("i,iyx->yx", y, V[:m])
+        if isinstance(fine, _Level3):
+            return fine.extract3(z)
         return z[:ny, :nx].reshape(-1)
 
     def _debug_raw(r_flat, W_op=None):
