@@ -17,6 +17,12 @@
 #include "pdebench_fem.hpp"
 #include "pdebench_json.hpp"
 #include "pdebench_lagrange.hpp"
+// locate_cell() dispatches to locate_cell_unstructured(), whose
+// definition lives in pdebench_unstructured.hpp (it needs lagrange
+// types, so lagrange can only forward-declare it). Include it here so
+// agent programs that include this plumbing header alone still link
+// at -O0 (the declared-but-undefined inline is a link error otherwise).
+#include "pdebench_unstructured.hpp"
 
 namespace pdebench {
 namespace fem {

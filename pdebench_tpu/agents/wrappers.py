@@ -12,9 +12,13 @@ Parity targets (reference: pdebench/agents/):
   - mini_swe_agent_wrapper.py: mini-swe-agent Python API in a tmp
     workspace, reads back solver.py
 
-The OpenHands / mini-swe frameworks don't ship in this image, so those
-two degrade with a clear error at generate time while staying
-registered. Two more fully-functional wrappers are provided:
+The OpenHands / mini-swe external frameworks don't ship in this image;
+when they are absent both wrappers fall back to a NATIVE shell-agent
+loop with the same shape as mini-swe-agent's: the model emits one bash
+command per turn inside a scratch workspace, observes stdout/stderr,
+and submits when the solver file is written. The loop runs fully
+offline against the mock LLM (tests/test_agents.py), and against any
+configured provider online. Two more fully-functional wrappers:
   - 'llm': one-shot LLM call through core.llm_client
   - 'script': run a user-supplied command that reads the prompt on
     stdin and prints solver code (hook for arbitrary local agents)
@@ -94,7 +98,134 @@ class ScriptAgent(BaseAgent):
         )
 
 
+SHELL_LOOP_INSTRUCTIONS = """
+You are an autonomous agent working in a scratch workspace directory
+(your current working directory). The workspace contains
+`case_spec.json` (the case specification above, as a file).
+
+Each turn, reply with exactly ONE shell command inside a ```bash
+fenced code block. You will receive its stdout+stderr (truncated) as
+the next observation. Multi-line commands (heredocs) are allowed
+inside the single block.
+
+Write the final solver to `{solver_name}` in the workspace. When it is
+complete, submit by replying with:
+```bash
+echo SUBMIT_FINAL_ANSWER
+```
+"""
+
+_BASH_BLOCK = None  # compiled lazily
+
+
+def _extract_bash(text: str) -> Optional[str]:
+    """Last ```bash/```sh fenced block in the reply (one command per
+    turn, mini-swe-agent convention)."""
+    import re
+
+    global _BASH_BLOCK
+    if _BASH_BLOCK is None:
+        _BASH_BLOCK = re.compile(
+            r"```(?:bash|sh|shell)?[ \t]*\n(.*?)```", re.S
+        )
+    blocks = _BASH_BLOCK.findall(text)
+    return blocks[-1].strip() if blocks else None
+
+
+def run_shell_agent_loop(
+    prompt: str,
+    model: str,
+    workdir: Path,
+    solver_name: str = "solver.py",
+    max_steps: int = 15,
+    step_timeout: float = 120.0,
+    case_spec: Optional[Dict[str, Any]] = None,
+) -> AgentResponse:
+    """Native agentic shell loop (role parity with mini-swe-agent /
+    OpenHands headless: reference agents/mini_swe_agent_wrapper.py,
+    openhands_wrapper.py — task in a tmp workspace, bash tool loop,
+    read back solver.py). One bash block per LLM turn; observations are
+    fed back; terminates on the submit marker or the step budget."""
+    import json as _json
+
+    workdir = Path(workdir)
+    workdir.mkdir(parents=True, exist_ok=True)
+    if case_spec is not None:
+        (workdir / "case_spec.json").write_text(_json.dumps(case_spec))
+
+    base = (
+        prompt
+        + "\n"
+        + ANTI_CHEAT_CONTRACT
+        + SHELL_LOOP_INSTRUCTIONS.format(solver_name=solver_name)
+    )
+    transcript: list = []
+    n_calls, cost = 0, 0.0
+    submitted = False
+    for _step in range(max_steps):
+        p = base + "".join(transcript[-8:])
+        try:
+            text, meta = call_llm(model, p, extract=False)
+        except LLMError as e:
+            return AgentResponse(
+                code="", success=False, error_message=str(e)
+            )
+        n_calls += 1
+        cost += float((meta or {}).get("cost_usd", 0.0))
+        cmd = _extract_bash(text)
+        if cmd is None:
+            transcript.append(
+                "\n\nObservation: no ```bash block found in your reply;"
+                " respond with exactly one bash code block.\n"
+            )
+            continue
+        if "SUBMIT_FINAL_ANSWER" in cmd:
+            submitted = True
+            break
+        try:
+            proc = subprocess.run(
+                ["bash", "-c", cmd],
+                cwd=str(workdir),
+                capture_output=True,
+                text=True,
+                timeout=step_timeout,
+            )
+            obs = (proc.stdout + proc.stderr)[-2000:]
+            rc = proc.returncode
+        except subprocess.TimeoutExpired:
+            obs, rc = f"[command timed out after {step_timeout}s]", 124
+        transcript.append(
+            f"\n\n$ {cmd}\n(exit {rc})\n{obs}\n"
+        )
+
+    solver = workdir / solver_name
+    if not solver.exists():
+        how = "submitted" if submitted else "step budget exhausted"
+        return AgentResponse(
+            code="",
+            success=False,
+            error_message=(
+                f"agent loop ended ({how}) without writing {solver_name}"
+            ),
+            metadata={"llm_calls": n_calls, "cost_usd": cost},
+        )
+    return AgentResponse(
+        code=solver.read_text(),
+        raw_response="".join(transcript)[-8000:],
+        metadata={
+            "native_loop": True,
+            "llm_calls": n_calls,
+            "steps": n_calls,
+            "submitted": submitted,
+            "cost_usd": cost,
+        },
+    )
+
+
 class _ExternalFrameworkAgent(BaseAgent):
+    """Shared base: drive the real external framework when installed,
+    else run the native shell-agent loop (same task contract)."""
+
     framework = "?"
     install_hint = "?"
 
@@ -103,16 +234,36 @@ class _ExternalFrameworkAgent(BaseAgent):
         if path:
             sys.path.insert(0, str(path))
 
+    def _framework_available(self) -> bool:
+        return False
+
+    def _run_framework(self, task, context) -> AgentResponse:
+        raise NotImplementedError
+
     def generate_solution(self, prompt, context=None) -> AgentResponse:
-        return AgentResponse(
-            code="",
-            success=False,
-            error_message=(
-                f"the external '{self.framework}' framework is not installed "
-                f"in this environment ({self.install_hint}); configure "
-                "'framework_path' or use the 'llm'/'script' agents"
-            ),
-        )
+        task = prompt + "\n" + ANTI_CHEAT_CONTRACT
+        if self._framework_available():
+            return self._run_framework(task, context)
+        if not bool(self.config.get("native_fallback", True)):
+            return AgentResponse(
+                code="",
+                success=False,
+                error_message=(
+                    f"the external '{self.framework}' framework is not "
+                    f"installed ({self.install_hint}) and native_fallback "
+                    "is disabled"
+                ),
+            )
+        context = context or {}
+        with tempfile.TemporaryDirectory() as tmp:
+            return run_shell_agent_loop(
+                task,
+                self.config.get("model", "mock"),
+                Path(tmp),
+                max_steps=int(self.config.get("max_steps", 15)),
+                step_timeout=float(self.config.get("step_timeout", 120)),
+                case_spec=context.get("case_spec"),
+            )
 
 
 def _debug_feedback(prompt: str, code: str, eval_result: Dict[str, Any]) -> str:
@@ -300,28 +451,90 @@ def _rel_l2_vs_reference(
 
 @register("openhands")
 class OpenHandsAgent(_ExternalFrameworkAgent):
+    """OpenHands headless CLI when installed; native shell-agent loop
+    otherwise (reference: agents/openhands_wrapper.py — headless task
+    with the anti-cheat contract, solver read back from the workspace)."""
+
     framework = "OpenHands"
     install_hint = "pip install openhands-ai (not available offline)"
 
-    def generate_solution(self, prompt, context=None) -> AgentResponse:
-        task = prompt + "\n" + ANTI_CHEAT_CONTRACT
+    def _framework_available(self) -> bool:
         import shutil
 
-        if shutil.which("openhands") is None:
-            return super().generate_solution(task, context)
-        return super().generate_solution(task, context)
+        return shutil.which("openhands") is not None
+
+    def _run_framework(self, task, context) -> AgentResponse:
+        with tempfile.TemporaryDirectory() as tmp:
+            try:
+                proc = subprocess.run(
+                    ["openhands", "--headless", "-t", task],
+                    cwd=tmp,
+                    capture_output=True,
+                    text=True,
+                    timeout=float(self.config.get("timeout_sec", 1800)),
+                )
+            except Exception as e:
+                return AgentResponse(
+                    code="", success=False, error_message=str(e)
+                )
+            solver = Path(tmp) / "solver.py"
+            if solver.exists():
+                return AgentResponse(
+                    code=solver.read_text(),
+                    raw_response=proc.stdout[-8000:],
+                    metadata={"agent": "openhands"},
+                )
+            from ..core.llm_client import extract_code
+
+            code = extract_code(proc.stdout)
+            return AgentResponse(
+                code=code,
+                raw_response=proc.stdout[-8000:],
+                success=bool(code),
+                error_message=None if code else "openhands wrote no solver",
+                metadata={"agent": "openhands"},
+            )
 
 
 @register("mini-swe-agent")
 class MiniSweAgent(_ExternalFrameworkAgent):
+    """mini-swe-agent Python API when installed; the native loop IS the
+    mini-swe protocol (one bash block per turn, observation feedback),
+    so the fallback preserves the agent's semantics offline (reference:
+    agents/mini_swe_agent_wrapper.py:19-37)."""
+
     framework = "mini-swe-agent"
     install_hint = "pip install mini-swe-agent (not available offline)"
 
-    def generate_solution(self, prompt, context=None) -> AgentResponse:
+    def _framework_available(self) -> bool:
         try:
             import minisweagent  # noqa: F401
+
+            return True
         except ImportError:
-            return super().generate_solution(
-                prompt + "\n" + ANTI_CHEAT_CONTRACT, context
+            return False
+
+    def _run_framework(self, task, context) -> AgentResponse:
+        # External-framework drive; exercised only when minisweagent is
+        # installed (not in this image). Keep the surface minimal: run
+        # the default agent in a tmp workspace, read back solver.py.
+        with tempfile.TemporaryDirectory() as tmp:
+            try:
+                from minisweagent.run import run_task  # type: ignore
+
+                run_task(task, cwd=tmp)
+            except Exception as e:
+                return AgentResponse(
+                    code="", success=False, error_message=str(e)
+                )
+            solver = Path(tmp) / "solver.py"
+            if not solver.exists():
+                return AgentResponse(
+                    code="",
+                    success=False,
+                    error_message="mini-swe-agent wrote no solver.py",
+                )
+            return AgentResponse(
+                code=solver.read_text(),
+                metadata={"agent": "mini-swe-agent"},
             )
-        return super().generate_solution(prompt, context)

@@ -147,3 +147,63 @@ def test_codepde_keeps_last_code_when_nothing_validates(mock_responses):
     assert resp.success  # degrades to the last sampled code
     assert "kaboom" in resp.code
     assert resp.metadata["internal_best_error"] is None
+
+
+# --- native shell-agent loop (mini-swe / openhands fallback) ---------
+
+SOLVER_BODY = (
+    "import numpy as np\n"
+    "def solve(case_spec):\n"
+    "    g = case_spec['output']['grid']\n"
+    "    return {'u': np.full((g['ny'], g['nx']), 1.5)}\n"
+)
+
+LS_TURN = "I'll look around first.\n```bash\nls\n```\n"
+WRITE_TURN = (
+    "Now write the solver.\n```bash\ncat > solver.py <<'PYEOF'\n"
+    + SOLVER_BODY
+    + "PYEOF\n```\n"
+)
+SUBMIT_TURN = "Done.\n```bash\necho SUBMIT_FINAL_ANSWER\n```\n"
+
+
+def test_shell_loop_writes_and_submits(mock_responses):
+    """ls -> heredoc-write solver.py -> submit; the loop reads back the
+    workspace file and records the step count."""
+    mock_responses(LS_TURN, WRITE_TURN, SUBMIT_TURN)
+    agent = get_agent("mini-swe-agent", {"model": "mock", "max_steps": 5})
+    resp = agent.generate_solution("task", {"case_spec": _case()})
+    assert resp.success
+    assert "def solve" in resp.code and "1.5" in resp.code
+    assert resp.metadata["native_loop"] and resp.metadata["submitted"]
+    assert resp.metadata["llm_calls"] == 3
+    # the first observation (ls) saw the case_spec file in the workspace
+    assert "case_spec.json" in resp.raw_response
+
+
+def test_shell_loop_step_budget(mock_responses):
+    """Never submits, never writes the solver -> clean failure."""
+    mock_responses(LS_TURN)
+    agent = get_agent("mini-swe-agent", {"model": "mock", "max_steps": 3})
+    resp = agent.generate_solution("task")
+    assert not resp.success
+    assert "step budget exhausted" in resp.error_message
+    assert resp.metadata["llm_calls"] == 3
+
+
+def test_shell_loop_handles_missing_block(mock_responses):
+    """A reply without a bash block costs a turn but does not crash."""
+    mock_responses("thinking out loud, no command", WRITE_TURN, SUBMIT_TURN)
+    agent = get_agent("openhands", {"model": "mock", "max_steps": 5})
+    resp = agent.generate_solution("task", {"case_spec": _case()})
+    assert resp.success and "def solve" in resp.code
+
+
+def test_native_fallback_can_be_disabled(mock_responses):
+    mock_responses(WRITE_TURN)
+    agent = get_agent(
+        "mini-swe-agent", {"model": "mock", "native_fallback": False}
+    )
+    resp = agent.generate_solution("task")
+    assert not resp.success
+    assert "not installed" in resp.error_message
