@@ -117,12 +117,12 @@ class NavierStokesSolver:
             gradu_qp = jnp.einsum("cqid,cia->cqad", gphys, ue)
             return u_qp, gradu_qp
 
-        def residual(x):
+        def residual_nu(x, nu_v):
             u_qp, gradu_qp = velocity_fields(x)
             conv_q = jnp.einsum("cqab,cqb->cqa", gradu_qp, u_qp)
             r_conv = local_vector_load(cb, conv_q)  # (c, nlu*d)
             base_apply = mixed.saddle_apply(
-                nu_cur[0] * A1_loc, G_loc, dofmap_u, dofmap_p, V.ndof, Q.ndof
+                nu_v * A1_loc, G_loc, dofmap_u, dofmap_p, V.ndof, Q.ndof
             )
             r = base_apply(x)
             r = r.at[: V.ndof].add(
@@ -131,7 +131,7 @@ class NavierStokesSolver:
             r = r - b
             return jnp.where(mask_j, 0.0, r)
 
-        def jacobian_u_block(x):
+        def jacobian_u_block_nu(x, nu_v):
             u_qp, gradu_qp = velocity_fields(x)
             # N1[(ia)(jb)] = int phi_i phi_j du_a/dx_b
             N1 = jnp.einsum("qi,qj,cqab,cq->ciajb", phi, phi, gradu_qp, w_q)
@@ -141,7 +141,13 @@ class NavierStokesSolver:
             eye = jnp.eye(dim)
             N = N1 + jnp.einsum("cij,ab->ciajb", N2s, eye)
             c = N.shape[0]
-            return nu_cur[0] * A1_loc + N.reshape(c, nlu_s * dim, nlu_s * dim)
+            return nu_v * A1_loc + N.reshape(c, nlu_s * dim, nlu_s * dim)
+
+        def residual(x):
+            return residual_nu(x, nu_cur[0])
+
+        def jacobian_u_block(x):
+            return jacobian_u_block_nu(x, nu_cur[0])
 
         nu_cur = [nu]  # mutable closure cell for the continuation rung
         _phase_t = {"lin": 0.0, "init": 0.0}  # phase wall-clock (diagnostics)
@@ -151,6 +157,7 @@ class NavierStokesSolver:
         # f32 inner Arnoldi at native v5e speed; falls back to host LU
         # when unavailable or unconverged
         device_lin = None
+        newton_device = None
         # Round-2 measurements (TPU v5e): with the cell-based saddle
         # apply the device path only reached PARITY with host SuperLU
         # (4.7 vs 4.4 s under equal load) — the gather/scatter apply
@@ -195,8 +202,8 @@ class NavierStokesSolver:
                     os.environ.get("PDEBENCH_TPU_NS_INNER_ITERS", "20")
                 )
 
-                @jax.jit
-                def device_lin(Ju, rhs):
+                def _lin_solve(Ju, rhs):
+                    """Traceable saddle solve (FGMRES-IR, f32 inner)."""
                     if sst is not None:
                         WA64 = sst.wmapA.weights(Ju)
                         apply64 = sst.saddle_apply_w(WA64)
@@ -221,8 +228,101 @@ class NavierStokesSolver:
                     )
                     return d, info.converged
 
+                device_lin = jax.jit(_lin_solve)
+
+                # Whole-Newton single jit: jacobian, FGMRES-IR solve,
+                # backtracking line search, and convergence control all
+                # run as ONE device program (lax.while_loop) — on the
+                # remote-TPU platform the host-driven loop pays a
+                # network round trip per eager op, so fusing the whole
+                # Newton solve is the difference between O(1) and
+                # O(iterations x ops) transfers per case. Reference
+                # semantics preserved: SNES newtonls with 'bt' line
+                # search (pdebench/oracle/navier_stokes.py:321-353).
+                @jax.jit
+                def newton_device(x0, nu_v, rtol, atol, max_it):
+                    x = jnp.where(mask_j, g_j, x0)
+                    r = residual_nu(x, nu_v)
+                    rn0 = jnp.linalg.norm(r)
+                    tol = jnp.maximum(rtol * rn0, atol)
+
+                    def cond(st):
+                        _x, _r, rn, it, _nl, lin_ok = st
+                        return (
+                            (it < max_it)
+                            & (rn > tol)
+                            & (rn <= 1e4 * rn0)
+                            & jnp.isfinite(rn)
+                            & lin_ok
+                        )
+
+                    def body(st):
+                        x, r, rn, it, nlin, lin_ok = st
+                        Ju = jacobian_u_block_nu(x, nu_v)
+                        delta, conv = _lin_solve(Ju, -r)
+                        # backtracking 'bt': try t = 1, 1/2, ... 1/512;
+                        # one final untested halving if all fail (same
+                        # schedule as the host loop)
+                        t1 = jnp.asarray(1.0, x.dtype)
+                        rnn1 = jnp.linalg.norm(
+                            residual_nu(x + t1 * delta, nu_v)
+                        )
+
+                        def ls_cond(c):
+                            t, rnn, k = c
+                            return (k < 9) & (
+                                rnn > (1.0 - 1e-4 * t) * rn
+                            )
+
+                        def ls_body(c):
+                            t, rnn, k = c
+                            t2 = t * 0.5
+                            rnn2 = jnp.linalg.norm(
+                                residual_nu(x + t2 * delta, nu_v)
+                            )
+                            return t2, rnn2, k + 1
+
+                        t, rnn, _ = jax.lax.while_loop(
+                            ls_cond, ls_body, (t1, rnn1, 0)
+                        )
+                        t = jnp.where(
+                            rnn > (1.0 - 1e-4 * t) * rn, t * 0.5, t
+                        )
+                        x_new = x + t * delta
+                        r_new = residual_nu(x_new, nu_v)
+                        rn_new = jnp.linalg.norm(r_new)
+                        return (
+                            x_new, r_new, rn_new,
+                            it + 1, nlin + 1, lin_ok & conv,
+                        )
+
+                    x, _r, rn, _it, nlin, lin_ok = jax.lax.while_loop(
+                        cond, body,
+                        (x, r, rn0, jnp.asarray(0), jnp.asarray(0),
+                         jnp.asarray(True)),
+                    )
+                    return x, rn, nlin, lin_ok, rn <= tol
+
         def newton(x0, rtol, atol, max_it):
             import time as _time
+
+            if newton_device is not None:
+                t_l0 = _time.perf_counter()
+                x_d, rn_d, nlin_d, lin_ok, conv = newton_device(
+                    jnp.asarray(x0), nu_cur[0], rtol, atol, max_it
+                )
+                _phase_t["lin"] += _time.perf_counter() - t_l0
+                if bool(lin_ok):
+                    # accept the device trajectory (converged, max_it,
+                    # or divergence-guard exit — same outcomes the host
+                    # loop returns); fall through only when the device
+                    # LINEAR solver failed mid-trajectory
+                    return (
+                        np.asarray(x_d),
+                        float(rn_d),
+                        int(nlin_d),
+                        bool(conv),
+                    )
 
             x = np.asarray(x0)
             x[mask_np] = g_np[mask_np]

@@ -173,3 +173,37 @@ def test_darcy_mixed_rt0():
         errs.append(S.solve(cfg).baseline_error)
     assert errs[0] < 0.1
     assert errs[1] < 0.65 * errs[0]  # O(h)
+
+
+def test_navier_stokes_whole_newton_device(monkeypatch):
+    """The fused whole-Newton device path (one jitted lax.while_loop:
+    jacobian + FGMRES-IR + 'bt' line search) must engage on structured
+    Taylor-Hood meshes and land on the host-LU trajectory's answer."""
+    monkeypatch.setenv("PDEBENCH_TPU_NS_DEVICE_NEWTON", "1")
+    cfg = {
+        "pde": {
+            "type": "navier_stokes",
+            "pde_params": {"nu": 0.5},
+            "manufactured_solution": {
+                "u": ["pi*cos(pi*y)*sin(pi*x)", "-pi*cos(pi*x)*sin(pi*y)"],
+                "p": "0",
+            },
+        },
+        "domain": {"type": "unit_square"},
+        "mesh": {"resolution": 12, "cell_type": "triangle"},
+        "fem": {"degree_u": 2, "degree_p": 1},
+        "bc": {"dirichlet": {"on": "all", "value": ["0", "0"]}},
+        "output": {"format": "npz", "field": "velocity_magnitude", "grid": _grid()},
+        "oracle_solver": {"rtol": 1e-9, "atol": 1e-11, "max_it": 30, "init": "stokes"},
+    }
+    r_dev = S.solve(cfg)
+    assert r_dev.solver_info["device_newton"], r_dev.solver_info
+    assert r_dev.solver_info["residual"] < 1e-6
+    assert r_dev.baseline_error < 2e-3, r_dev.solver_info
+
+    monkeypatch.setenv("PDEBENCH_TPU_NS_DEVICE_NEWTON", "0")
+    r_host = S.solve(cfg)
+    assert not r_host.solver_info["device_newton"]
+    # same discretization, same Newton scheme -> same FEM solution
+    diff = np.nanmax(np.abs(r_dev.reference - r_host.reference))
+    assert diff < 1e-7, diff
