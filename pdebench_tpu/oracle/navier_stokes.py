@@ -158,31 +158,33 @@ class NavierStokesSolver:
         # when unavailable or unconverged
         device_lin = None
         newton_device = None
-        # Round-2 measurements (TPU v5e): with the cell-based saddle
-        # apply the device path only reached PARITY with host SuperLU
-        # (4.7 vs 4.4 s under equal load) — the gather/scatter apply
-        # inside the f32 Arnoldi was the cost. The nested-lattice
-        # stencil saddle apply (solvers.saddle_stencil) removes it:
-        # per-Newton-step block weights scatter in-jit
-        # (BlockLatticeWeightMap), every matvec is shifted multiply-
-        # adds. Auto-enabled on TPU when the Taylor-Hood pair is a
-        # nested lattice; PDEBENCH_TPU_NS_DEVICE_NEWTON=0/1 overrides
-        # (=1 also forces the cell-based apply on non-lattice meshes).
+        # Round-2 measurements (TPU v5e, navier_stokes_basic, 37.5k
+        # dofs, warm best-of-3):
+        #   host SuperLU Newton (2 LUs)      ~2.4 s (idle box)
+        #   cell-based device FGMRES-IR      4.7 s
+        #   saddle-stencil whole-Newton jit  6.1 s  (~460 Krylov its/
+        #     solve; inner=48 probe: same wall, 2x the iterations —
+        #     the per-step preconditioner application, 2 fused
+        #     Richardson V-cycle kernels per component, is the cost,
+        #     not the f64 outer rounds)
+        # The iterative device path loses to 2 host LUs at dataset
+        # sizes, so it stays OPT-IN (PDEBENCH_TPU_NS_DEVICE_NEWTON=1;
+        # =1 also forces the cell-based apply on non-lattice meshes).
+        # The identified fix is a fully-fused saddle-FGMRES Pallas
+        # kernel (whole Arnoldi cycle + nested-lattice G/G^T VMEM-
+        # resident, like solvers/gmg_fused.py for scalar lattices) —
+        # without it every Arnoldi step pays multiple kernel
+        # dispatches.
         _dev_env = os.environ.get("PDEBENCH_TPU_NS_DEVICE_NEWTON", "")
-        _on_tpu = False
-        try:
-            _on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-        except Exception:
-            pass
         sst = None
         try:
-            if _dev_env == "1" or (_dev_env != "0" and _on_tpu):
+            if _dev_env == "1":
                 from ..solvers.saddle_stencil import build_saddle_stencil
 
                 sst = build_saddle_stencil(V, Q, np.asarray(G_loc))
         except Exception:
             sst = None
-        if _dev_env == "1" or (_dev_env != "0" and _on_tpu and sst is not None):
+        if _dev_env == "1":
             try:
                 M_block = mixed.saddle_gmg_precond(
                     V, nu, cb, ctx.psi, dofmap_p, Q.ndof, ctx.mask
@@ -226,7 +228,7 @@ class NavierStokesSolver:
                         rtol=1e-8, atol=1e-12,
                         inner_iters=_ns_inner, max_outer=20, inner="gmres",
                     )
-                    return d, info.converged
+                    return d, info.converged, info.iterations
 
                 device_lin = jax.jit(_lin_solve)
 
@@ -247,7 +249,7 @@ class NavierStokesSolver:
                     tol = jnp.maximum(rtol * rn0, atol)
 
                     def cond(st):
-                        _x, _r, rn, it, _nl, lin_ok = st
+                        _x, _r, rn, it, _nl, _ki, lin_ok = st
                         return (
                             (it < max_it)
                             & (rn > tol)
@@ -257,9 +259,9 @@ class NavierStokesSolver:
                         )
 
                     def body(st):
-                        x, r, rn, it, nlin, lin_ok = st
+                        x, r, rn, it, nlin, kry_its, lin_ok = st
                         Ju = jacobian_u_block_nu(x, nu_v)
-                        delta, conv = _lin_solve(Ju, -r)
+                        delta, conv, its = _lin_solve(Ju, -r)
                         # backtracking 'bt': try t = 1, 1/2, ... 1/512;
                         # one final untested halving if all fail (same
                         # schedule as the host loop)
@@ -293,25 +295,31 @@ class NavierStokesSolver:
                         rn_new = jnp.linalg.norm(r_new)
                         return (
                             x_new, r_new, rn_new,
-                            it + 1, nlin + 1, lin_ok & conv,
+                            it + 1, nlin + 1, kry_its + its,
+                            lin_ok & conv,
                         )
 
-                    x, _r, rn, _it, nlin, lin_ok = jax.lax.while_loop(
-                        cond, body,
-                        (x, r, rn0, jnp.asarray(0), jnp.asarray(0),
-                         jnp.asarray(True)),
+                    x, _r, rn, _it, nlin, kry_its, lin_ok = (
+                        jax.lax.while_loop(
+                            cond, body,
+                            (x, r, rn0, jnp.asarray(0), jnp.asarray(0),
+                             jnp.asarray(0), jnp.asarray(True)),
+                        )
                     )
-                    return x, rn, nlin, lin_ok, rn <= tol
+                    return x, rn, nlin, kry_its, lin_ok, rn <= tol
 
         def newton(x0, rtol, atol, max_it):
             import time as _time
 
             if newton_device is not None:
                 t_l0 = _time.perf_counter()
-                x_d, rn_d, nlin_d, lin_ok, conv = newton_device(
+                x_d, rn_d, nlin_d, kry_d, lin_ok, conv = newton_device(
                     jnp.asarray(x0), nu_cur[0], rtol, atol, max_it
                 )
                 _phase_t["lin"] += _time.perf_counter() - t_l0
+                _phase_t["kry_its"] = _phase_t.get("kry_its", 0) + int(
+                    kry_d
+                )
                 if bool(lin_ok):
                     # accept the device trajectory (converged, max_it,
                     # or divergence-guard exit — same outcomes the host
@@ -338,7 +346,12 @@ class NavierStokesSolver:
                 delta = None
                 t_l0 = _time.perf_counter()
                 if device_lin is not None:
-                    d_dev, conv = device_lin(Ju, jnp.asarray(-r))
+                    d_dev, conv, its_dev = device_lin(
+                        Ju, jnp.asarray(-r)
+                    )
+                    _phase_t["kry_its"] = _phase_t.get(
+                        "kry_its", 0
+                    ) + int(its_dev)
                     if bool(conv):
                         delta = np.asarray(d_dev)
                 if delta is None:
@@ -386,7 +399,10 @@ class NavierStokesSolver:
                     Ju0, G_loc, dofmap_u, dofmap_p, V.ndof, Q.ndof
                 )
                 rhs = _con_rhs(apply64, b, mask_j, g_j)
-                x_dev, conv = device_lin(Ju0, rhs)
+                x_dev, conv, its0 = device_lin(Ju0, rhs)
+                _phase_t["kry_its"] = _phase_t.get("kry_its", 0) + int(
+                    its0
+                )
                 if bool(conv):
                     return np.asarray(x_dev)
             K = mixed.saddle_to_scipy(
@@ -431,6 +447,7 @@ class NavierStokesSolver:
                         "init_mode": init_mode,
                         "t_lin": round(_phase_t["lin"], 4),
                         "t_init": round(_phase_t["init"], 4),
+                        "kry_its": int(_phase_t.get("kry_its", 0)),
                         "device_newton": device_lin is not None,
                     }
                 # fall back to the geometric nu-ladder; intermediate
@@ -461,6 +478,7 @@ class NavierStokesSolver:
                 "init_mode": init_mode,
                 "t_lin": round(_phase_t["lin"], 4),
                 "t_init": round(_phase_t["init"], 4),
+                "kry_its": int(_phase_t.get("kry_its", 0)),
                 "device_newton": device_lin is not None,
             }
 
