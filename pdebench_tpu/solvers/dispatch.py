@@ -170,18 +170,23 @@ def solve_constrained_ir(
             # but the preconditioner V-cycle chain does: a fused LINEAR
             # 2-V-cycle Richardson replaces the launch-bound XLA V-cycle
             # inside the Arnoldi iteration.
+            # PDEBENCH_TPU_FUSED: "1"/"all" (default) every fused kernel,
+            # "cg" only the CG/Richardson family (no fused Arnoldi),
+            # "0"/"none" disables fused kernels entirely (pure XLA path).
+            _fused_mode = os.environ.get("PDEBENCH_TPU_FUSED", "1").lower()
             try:
                 import jax as _jax
 
                 gmg_kind = type(gmg).__name__
-                if _jax.devices()[0].platform in (
+                if _fused_mode not in ("0", "none") and _jax.devices()[
+                    0
+                ].platform in (
                     "tpu", "axon",
                 ) and gmg_kind in ("LatticeGMG", "BlockLatticeGMG"):
                     from .gmg_fused import (
                         build_fused_block_inner_cg,
                         build_fused_inner_cg,
                         build_fused_inner_gmres,
-                        build_fused_richardson,
                     )
 
                     if step_weights is not None:
@@ -190,7 +195,11 @@ def solve_constrained_ir(
                         # in as a kernel INPUT (constrained once per
                         # step), the constant-part hierarchy stays the
                         # preconditioner
-                        if inner == "gmres" and gmg_kind == "LatticeGMG":
+                        if (
+                            inner == "gmres"
+                            and gmg_kind == "LatticeGMG"
+                            and _fused_mode != "cg"
+                        ):
                             from .stencil import constrain_step_weights
 
                             _wm, _W32s = step_weights
@@ -220,17 +229,36 @@ def solve_constrained_ir(
                             else build_fused_block_inner_cg
                         )
                         inner_custom = builder(gmg, inner_iters)
-                    elif gmg_kind == "LatticeGMG":
-                        # whole Arnoldi cycle in one kernel; if the
-                        # basis exceeds VMEM, fall back to the XLA
-                        # cycle with a fused 2-V-cycle M
-                        inner_custom = build_fused_inner_gmres(
-                            gmg, inner_iters
+                    elif gmg_kind == "LatticeGMG" and _fused_mode != "cg":
+                        # whole Arnoldi cycle in one kernel. The TRUE
+                        # constrained operator weights ride in as a
+                        # kernel INPUT (step_offsets path): the V-cycle
+                        # hierarchy may be built from a SURROGATE
+                        # operator (helmholtz's shifted laplacian via
+                        # _amg_matrix), so level-0 of the hierarchy is
+                        # only valid as the preconditioner, never as
+                        # the Arnoldi operator.
+                        from .stencil import constrain_step_weights
+
+                        fg = build_fused_inner_gmres(
+                            gmg, inner_iters,
+                            step_offsets=lattice32.offsets,
                         )
-                        if inner_custom is None:
-                            fr = build_fused_richardson(gmg, 2)
-                            if fr is not None:
-                                M32 = fr
+                        if fg is not None:
+                            # runs at trace time (this whole solve is
+                            # jitted): constrain with traced jnp ops,
+                            # like the per-step (burgers/Newton) path
+                            keep2 = (
+                                1.0 - mask_lat.astype(jnp.float32)
+                            ).reshape(gshape)
+                            W32c = constrain_step_weights(
+                                lattice32.W.astype(jnp.float32),
+                                lattice32.offsets,
+                                keep2,
+                            )
+                            inner_custom = (
+                                lambda r, _f=fg, _w=W32c: _f(r, _w)
+                            )
             except Exception:
                 inner_custom = None
 

@@ -766,14 +766,20 @@ def build_fused_inner_gmres(
     TPU-shaped split: the kernel runs the launch-/HBM-bound part — m
     Arnoldi steps where each is a fine stencil apply + a chained
     `precond_cycles`-V-cycle preconditioner + MGS against the VMEM-
-    resident basis — and writes out the basis V (m+1 planes) and the
-    preconditioned applies U (m planes). The host-jitted wrapper then
-    forms H = <V,U> as one MXU matmul, solves the (m+1, m) least
-    squares with the proven QR path (f32 lstsq crashes the axon XLA
-    pipeline), and combines z = sum_i y_i V_i — small dense work XLA
-    already does well. V/U rows are zero-initialized in-kernel so the
-    statically-bounded MGS loop never multiplies uninitialized VMEM
-    (0*NaN would poison the basis).
+    resident basis — and writes out the basis V (m+1 planes) plus the
+    MGS coefficients H (the TRUE Arnoldi Hessenberg entries, one
+    8x128 row-block per step). The host-jitted wrapper solves the
+    (m+1, m) least squares with the proven QR path (f32 lstsq crashes
+    the axon XLA pipeline) and combines z = sum_i y_i V_i — small
+    dense work XLA already does well. H must come from the in-kernel
+    MGS coefficients, NOT a post-hoc H = <V, MAV> matmul: once f32
+    MGS loses orthogonality (high-Pe SUPG operators), the recomputed
+    H diverges from the recurrence actually performed and the least-
+    squares update stops reducing the residual (the XLA inner_gmres,
+    krylov.py:452-465, uses its MGS coefficients for exactly this
+    reason). V rows are zero-initialized in-kernel so the statically-
+    bounded MGS loop never multiplies uninitialized VMEM (0*NaN would
+    poison the basis).
 
     step_offsets: offsets of a PER-CALL operator stencil (time-varying
     systems in scans — lagged Burgers convection, Newton Jacobians,
@@ -829,13 +835,14 @@ def build_fused_inner_gmres(
         ):
             return None
         total += len(op_offsets) * plane
-    # V (m+1) + U (m) + ~5 work planes; shrink the cycle length until
-    # the basis fits — a shorter fused cycle still beats the XLA cycle
-    # per outer, and the f64 refinement outers absorb the difference
+    # V (m+1) + ~6 work planes (H is one 8x128 block per step, noise);
+    # shrink the cycle length until the basis fits — a shorter fused
+    # cycle still beats the XLA cycle per outer, and the f64 refinement
+    # outers absorb the difference
     m = 0
     for m_try in sorted({int(inner_iters), 16, 12, 8}, reverse=True):
         if m_try <= int(inner_iters) and (
-            total + (2 * m_try + 6) * plane <= vmem_budget
+            total + (m_try + 7) * plane <= vmem_budget
         ):
             m = m_try
             break
@@ -874,7 +881,7 @@ def build_fused_inner_gmres(
 
     def _kernel(*refs):
         # refs: r, [W_op,] W_0.., dinv_0.., Bry.., Brx.., Bpy.., Bpx..,
-        #       V_out, U_out, S_out
+        #       V_out, H_out, S_out
         r_ref = refs[0]
         Wop = refs[1][:, :, :] if has_op else None
         Ws = refs[1 + _ho : 1 + _ho + n_lv]
@@ -886,7 +893,7 @@ def build_fused_inner_gmres(
         Py = [b[:, :] for b in refs[k0 + 2 * nb : k0 + 3 * nb]]
         Px = [b[:, :] for b in refs[k0 + 3 * nb : k0 + 4 * nb]]
         V_ref = refs[k0 + 4 * nb]
-        U_ref = refs[k0 + 4 * nb + 1]
+        H_ref = refs[k0 + 4 * nb + 1]
         S_ref = refs[k0 + 4 * nb + 2]
 
         W = [w[:, :, :] for w in Ws]
@@ -922,7 +929,7 @@ def build_fused_inner_gmres(
         V_ref[:, :, :] = jnp.zeros(
             (m + 1, fine.nyp, fine.nxp), jnp.float32
         )
-        U_ref[:, :, :] = jnp.zeros((m, fine.nyp, fine.nxp), jnp.float32)
+        H_ref[:, :, :] = jnp.zeros((m, 8, 128), jnp.float32)
 
         g0 = precond(r_ref[:, :])
         beta = jnp.sqrt(jnp.sum(g0 * g0))
@@ -944,12 +951,16 @@ def build_fused_inner_gmres(
             else:
                 Avj = _apply(0, W[0], vj)
             u = alive * precond(Avj)
-            U_ref[j, :, :] = u
 
             # MGS unrolled at trace time: static V-row loads, and no
             # nested scan (Mosaic lowers nested fori_loops by Python
             # recursion — m*(m+1) deep blows the recursion limit)
             w = u
+            # accumulate this step's Hessenberg column as an 8x128 lane
+            # vector (lane i = h_{i,j}); stored row-wise per step so the
+            # write is an aligned full block at a dynamic leading index
+            lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            hrow = jnp.zeros((8, 128), jnp.float32)
             for i in range(m + 1):
                 vi = V_ref[i, :, :]
                 # jnp.float32(0.0), not bare 0.0: a weak-f64 branch
@@ -961,6 +972,11 @@ def build_fused_inner_gmres(
                     jnp.float32(0.0),
                 )
                 w = w - hij * vi
+                hrow = hrow + hij * jnp.where(
+                    lane == jnp.int32(i),
+                    jnp.float32(1.0),
+                    jnp.float32(0.0),
+                )
             hn = jnp.sqrt(jnp.sum(w * w))
             unorm = jnp.sqrt(jnp.sum(u * u))
             # f32 literals only: a bare 1.0/0.0 is weak-f64 under x64,
@@ -970,6 +986,14 @@ def build_fused_inner_gmres(
                 jnp.float32(1.0),
                 jnp.float32(0.0),
             )
+            # subdiagonal h_{j+1,j}: zeroed at breakdown so the least
+            # squares sees an exact (k+1, k) problem
+            hrow = hrow + alive * hn * jnp.where(
+                lane == j + jnp.int32(1),
+                jnp.float32(1.0),
+                jnp.float32(0.0),
+            )
+            H_ref[j, :, :] = hrow
             # explicit i32: under jax_enable_x64 a bare `j + 1` widens
             # to i64 and Mosaic rejects the mixed-width index add
             V_ref[j + jnp.int32(1), :, :] = alive * w / jnp.maximum(hn, eps)
@@ -1008,12 +1032,12 @@ def build_fused_inner_gmres(
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((m + 1, fine.nyp, fine.nxp), zero3),
-            pl.BlockSpec((m, fine.nyp, fine.nxp), zero3),
+            pl.BlockSpec((m, 8, 128), zero3),
             pl.BlockSpec((8, 128), zero2),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((m + 1, fine.nyp, fine.nxp), jnp.float32),
-            jax.ShapeDtypeStruct((m, fine.nyp, fine.nxp), jnp.float32),
+            jax.ShapeDtypeStruct((m, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
         ],
         interpret=interpret,
@@ -1038,21 +1062,14 @@ def build_fused_inner_gmres(
                     W_op.astype(jnp.float32),
                     ((0, 0), (0, fine.nyp - ny), (0, fine.nxp - nx)),
                 )
-            V, U, S = call(r2p, Wp, *args_np)
+            V, Hout, S = call(r2p, Wp, *args_np)
         else:
-            V, U, S = call(r2p, *args_np)
+            V, Hout, S = call(r2p, *args_np)
         beta = S[0, 0]
-        # H = V^T (M A V): one batched contraction on the MXU. In f32
-        # this matches the in-kernel MGS coefficients to rounding; the
-        # f64 refinement outer absorbs the difference.
-        H = jnp.einsum(
-            "iyx,jyx->ij", V, U, preferred_element_type=jnp.float32
-        )
-        # the true Arnoldi H is Hessenberg; entries below the first
-        # subdiagonal are f32 orthogonality-loss noise — mask them
-        rows = jnp.arange(m + 1)[:, None]
-        cols = jnp.arange(m)[None, :]
-        H = jnp.where(rows <= cols + 1, H, 0.0)
+        # H straight from the in-kernel MGS coefficients (step j's
+        # column is row j of the 8x128 blocks): the recurrence's OWN
+        # Hessenberg matrix, valid even after f32 orthogonality loss
+        H = Hout[:, 0, : m + 1].T
         e1 = jnp.zeros(m + 1, jnp.float32).at[0].set(beta)
         eps32 = jnp.asarray(1e-30, jnp.float32)
         Q, R = jnp.linalg.qr(H)

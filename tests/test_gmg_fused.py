@@ -220,6 +220,91 @@ def test_fused_inner_gmres_step_weights_matches_baked():
     )
 
 
+def test_fused_inner_gmres_true_op_with_surrogate_hierarchy():
+    """When the V-cycle hierarchy is built from a SURROGATE operator
+    (helmholtz's shifted laplacian via attach_lattice_gmg A_override),
+    hierarchy level-0 is NOT the system matrix. The dispatch path must
+    feed the TRUE constrained weights through the step_offsets input;
+    this test pins the failure mode: the baked kernel (operator =
+    hierarchy level-0) cannot reduce the true residual, the true-op
+    input kernel can. Regression for the round-2 helmholtz fallback
+    (fused Arnoldi solving K+k2M while the outer measured K-k2M)."""
+    import scipy.sparse as sps
+
+    from pdebench_tpu.solvers.gmg_fused import build_fused_inner_gmres
+    from pdebench_tpu.solvers.stencil import constrain_step_weights
+
+    mesh = unit_square_mesh(48)
+    space = FunctionSpace(mesh, 1)
+    cb = cell_batch(mesh, 1)
+    K = local_stiffness(cb)
+    M = local_mass(cb)
+    k2 = 25.0
+    A_true = K - k2 * M
+
+    lat32 = lattice_operator_from_local(
+        np.asarray(A_true), space.dofmap_scalar, space.ndof,
+        space.dof_coords, dtype=jnp.float32,
+    )
+    mask = np.zeros(space.ndof, bool)
+    mask[space.boundary_scalar_dofs] = True
+
+    # surrogate: the SHIFTED laplacian K + k2 M as a CSR matrix
+    A_shift = np.asarray(K + k2 * M)
+    dm = np.asarray(space.dofmap_scalar, dtype=np.int64)
+    nl = dm.shape[1]
+    rows = np.repeat(dm, nl, axis=1).reshape(-1)
+    cols = np.tile(dm, (1, nl)).reshape(-1)
+    A_csr = sps.coo_matrix(
+        (A_shift.reshape(-1), (rows, cols)),
+        shape=(space.ndof, space.ndof),
+    ).tocsr()
+    attach_lattice_gmg(lat32, mask, A_override=A_csr)
+    assert lat32.gmg is not None
+
+    m = 12
+    baked = build_fused_inner_gmres(lat32.gmg, m, interpret=True)
+    stepf = build_fused_inner_gmres(
+        lat32.gmg, m, interpret=True, step_offsets=lat32.offsets
+    )
+    assert baked is not None and stepf is not None
+
+    emb = lat32.embedding
+    mask_lat = emb.embed_np(mask, True)
+    keep2 = jnp.asarray(
+        (1.0 - mask_lat.astype(np.float32)).reshape(lat32.grid_shape)
+    )
+    W32c = constrain_step_weights(
+        lat32.W.astype(jnp.float32), lat32.offsets, keep2
+    )
+
+    rng = np.random.default_rng(11)
+    r = rng.standard_normal(space.ndof)
+    r[mask] = 0.0
+    r_lat = jnp.asarray(emb.embed_np(r.astype(np.float32), 0.0))
+
+    # residual against the TRUE constrained operator
+    def true_resid(z_lat):
+        z2 = jnp.asarray(np.asarray(z_lat).reshape(lat32.grid_shape))
+        r2 = jnp.asarray(np.asarray(r_lat).reshape(lat32.grid_shape))
+        pad = lat32.pad
+        up = jnp.pad(z2, pad)
+        Az = jnp.zeros_like(z2)
+        for k, off in enumerate(lat32.offsets):
+            start = tuple(pad + o for o in off)
+            Az = Az + W32c[k] * jax.lax.dynamic_slice(
+                up, start, lat32.grid_shape
+            )
+        return float(jnp.linalg.norm(r2 - Az) / jnp.linalg.norm(r2))
+
+    rel_true = true_resid(stepf(r_lat, W32c))
+    rel_baked = true_resid(baked(r_lat))
+    assert rel_true < 0.05, rel_true
+    # the baked kernel solves the surrogate, not the system: it must be
+    # markedly worse on the true residual (this is the pinned bug)
+    assert rel_baked > 5 * rel_true, (rel_baked, rel_true)
+
+
 def test_fused_inner_gmres_vmem_gate():
     from pdebench_tpu.solvers.gmg_fused import build_fused_inner_gmres
 
