@@ -126,13 +126,35 @@ def solve_constrained_ir(
     from .krylov import jacobi_preconditioner, refined_solve
 
     raw64 = lambda v: _apply_local(A_local, dofmap, ndof, v)
-    if lattice32 is not None and step_weights is None:
+    if (
+        lattice32 is not None
+        and step_weights is not None
+        and os.environ.get("PDEBENCH_TPU_STEP_OUTER", "stencil") == "stencil"
+    ):
+        # per-step systems: the f64 outer applies the freshly scattered
+        # f32 step weights CAST to f64 — one vectorized cast per step
+        # replaces either an f64 scatter (measured slower than the cell
+        # apply) or the ~20x-slower cell-based gather apply. The cast
+        # weights carry f32 assembly rounding (~1e-7 relative operator
+        # perturbation), far below the time-discretization error of
+        # every per-step system (lagged convection, Newton Jacobians);
+        # the refinement outer converges to the perturbed operator's
+        # solution. PDEBENCH_TPU_STEP_OUTER=cell restores the cell
+        # apply for A/B.
+        _swm, _sW32 = step_weights
+        _emb_s, _inv_s = lattice32.embedding, lattice32.inv_j
+        _gs_s = lattice32.grid_shape
+        _W64s = _sW32.astype(A_local.dtype)
+
+        def raw64(v, _swm=_swm, _W64s=_W64s):
+            v_lat = _emb_s.embed(v, 0.0).reshape(_gs_s)
+            y = _swm.apply_grid(_W64s, v_lat)
+            return y.reshape(-1)[_inv_s]
+
+    elif lattice32 is not None and step_weights is None:
         # gather-free f64 outer residual: the cell-based gather/scatter
-        # apply is ~20x slower than the f64 stencil on TPU. Only for
-        # CONSTANT operators (retained W_f64): scattering per-step f64
-        # weights in-jit was measured SLOWER than the cell apply it
-        # replaces (f64 scatter of c*nl^2 values), so per-step systems
-        # keep the cell-based outer.
+        # apply is ~20x slower than the f64 stencil on TPU (constant
+        # operators retain an exact W_f64).
         W64 = getattr(lattice32, "W_f64", None)
         if W64 is not None:
             _emb, _inv = lattice32.embedding, lattice32.inv_j
@@ -170,9 +192,13 @@ def solve_constrained_ir(
             # but the preconditioner V-cycle chain does: a fused LINEAR
             # 2-V-cycle Richardson replaces the launch-bound XLA V-cycle
             # inside the Arnoldi iteration.
-            # PDEBENCH_TPU_FUSED: "1"/"all" (default) every fused kernel,
-            # "cg" only the CG/Richardson family (no fused Arnoldi),
-            # "0"/"none" disables fused kernels entirely (pure XLA path).
+            # PDEBENCH_TPU_FUSED: "1"/"all"/"cg" (default) the measured
+            # winners — fused CG/block-CG inners, plus a fused 2-V-cycle
+            # Richardson M for surrogate hierarchies; "arnoldi"
+            # additionally enables the fused whole-Arnoldi kernels
+            # (measured losers on the dataset cases, kept for
+            # experiments); "0"/"none" disables fused kernels entirely
+            # (pure XLA path).
             _fused_mode = os.environ.get("PDEBENCH_TPU_FUSED", "1").lower()
             try:
                 import jax as _jax
@@ -187,6 +213,7 @@ def solve_constrained_ir(
                         build_fused_block_inner_cg,
                         build_fused_inner_cg,
                         build_fused_inner_gmres,
+                        build_fused_richardson,
                     )
 
                     if step_weights is not None:
@@ -198,8 +225,13 @@ def solve_constrained_ir(
                         if (
                             inner == "gmres"
                             and gmg_kind == "LatticeGMG"
-                            and _fused_mode != "cg"
+                            and _fused_mode == "arnoldi"
                         ):
+                            # opt-in only: TPU A/B on burgers_square_v1
+                            # measured the fused per-step Arnoldi at
+                            # 2.36s vs 2.25s for the XLA Arnoldi with
+                            # the same stencil-cast f64 outer — no win
+                            # to justify the kernel in the default path
                             from .stencil import constrain_step_weights
 
                             _wm, _W32s = step_weights
@@ -229,36 +261,73 @@ def solve_constrained_ir(
                             else build_fused_block_inner_cg
                         )
                         inner_custom = builder(gmg, inner_iters)
-                    elif gmg_kind == "LatticeGMG" and _fused_mode != "cg":
-                        # whole Arnoldi cycle in one kernel. The TRUE
-                        # constrained operator weights ride in as a
-                        # kernel INPUT (step_offsets path): the V-cycle
-                        # hierarchy may be built from a SURROGATE
-                        # operator (helmholtz's shifted laplacian via
-                        # _amg_matrix), so level-0 of the hierarchy is
-                        # only valid as the preconditioner, never as
-                        # the Arnoldi operator.
-                        from .stencil import constrain_step_weights
+                    elif gmg_kind == "LatticeGMG" and _fused_mode in (
+                        "arnoldi",
+                    ):
+                        # STEADY fused Arnoldi, opt-in only
+                        # (PDEBENCH_TPU_FUSED=arnoldi). TPU A/B on the
+                        # dataset cases measured it LOSING to the plain
+                        # XLA Arnoldi: convdiff_high_pe 63.5s vs 1.09s
+                        # (f32 MGS orthogonality loss degrades the
+                        # subspace on high-Pe SUPG operators),
+                        # helmholtz_basic_k5 ~0.54s vs 0.43s. Kept for
+                        # experiments; the per-step scan path above is
+                        # where the fused cycle wins (launch-bound
+                        # inner inside a lax.scan).
+                        if getattr(gmg, "surrogate", False):
+                            # the V-cycle hierarchy was built from a
+                            # SURROGATE operator (helmholtz's shifted
+                            # laplacian via _amg_matrix): level-0 is
+                            # only valid as the preconditioner, so the
+                            # TRUE constrained weights ride in as a
+                            # kernel INPUT (step_offsets path).
+                            from .stencil import constrain_step_weights
 
-                        fg = build_fused_inner_gmres(
-                            gmg, inner_iters,
-                            step_offsets=lattice32.offsets,
-                        )
-                        if fg is not None:
-                            # runs at trace time (this whole solve is
-                            # jitted): constrain with traced jnp ops,
-                            # like the per-step (burgers/Newton) path
-                            keep2 = (
-                                1.0 - mask_lat.astype(jnp.float32)
-                            ).reshape(gshape)
-                            W32c = constrain_step_weights(
-                                lattice32.W.astype(jnp.float32),
-                                lattice32.offsets,
-                                keep2,
+                            fg = build_fused_inner_gmres(
+                                gmg, inner_iters,
+                                step_offsets=lattice32.offsets,
                             )
-                            inner_custom = (
-                                lambda r, _f=fg, _w=W32c: _f(r, _w)
+                            if fg is not None:
+                                # runs at trace time (this whole solve
+                                # is jitted): constrain with traced jnp
+                                # ops, like the per-step (burgers/
+                                # Newton) path
+                                keep2 = (
+                                    1.0 - mask_lat.astype(jnp.float32)
+                                ).reshape(gshape)
+                                W32c = constrain_step_weights(
+                                    lattice32.W.astype(jnp.float32),
+                                    lattice32.offsets,
+                                    keep2,
+                                )
+                                inner_custom = (
+                                    lambda r, _f=fg, _w=W32c: _f(r, _w)
+                                )
+                        else:
+                            # hierarchy level-0 IS the constrained
+                            # operator: the baked kernel needs no
+                            # weights input
+                            inner_custom = build_fused_inner_gmres(
+                                gmg, inner_iters
                             )
+                    if (
+                        inner == "gmres"
+                        and inner_custom is None
+                        and gmg_kind == "LatticeGMG"
+                        and getattr(gmg, "surrogate", False)
+                    ):
+                        # XLA Arnoldi, fused 2-V-cycle Richardson
+                        # preconditioner — measured best for SURROGATE
+                        # hierarchies (helmholtz shifted laplacian:
+                        # 0.57s/2.33s vs 0.66s/2.95s with the XLA
+                        # V-cycle M). For own-operator hierarchies
+                        # (convdiff SUPG) the same chain LOSES (2.72s
+                        # vs 1.09s): the undamped 2-cycle Richardson is
+                        # not contractive on strongly nonsymmetric
+                        # operators, so those keep the XLA V-cycle M.
+                        fr = build_fused_richardson(gmg, 2)
+                        if fr is not None:
+                            M32 = fr
             except Exception:
                 inner_custom = None
 

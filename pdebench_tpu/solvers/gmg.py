@@ -197,6 +197,11 @@ class LatticeGMG:
     levels: List[GMGLevel]
     coarse_inv: jnp.ndarray  # dense pinv on the coarsest lattice (flat)
     coarse_shape: Tuple[int, int]
+    # True when the hierarchy was coarsened from a DIFFERENT matrix than
+    # the system operator (e.g. Helmholtz's shifted Laplacian): level-0
+    # is then only valid as a preconditioner, never as the Krylov
+    # operator (see dispatch.solve_constrained_ir).
+    surrogate: bool = False
 
     def precond(self) -> Callable:
         def vcycle(i: int, r: jnp.ndarray) -> jnp.ndarray:
@@ -377,6 +382,7 @@ class BlockLatticeGMG:
     coarse_inv: jnp.ndarray
     coarse_shape: Tuple[int, ...]
     d: int
+    surrogate: bool = False  # see LatticeGMG.surrogate
 
     def precond(self) -> Callable:
         def vcycle(i: int, r: jnp.ndarray) -> jnp.ndarray:
@@ -553,6 +559,7 @@ def attach_lattice_gmg(lat32, mask_np, A_override=None) -> None:
         )
     else:
         lat32.gmg = setup_gmg(W_bc, offs, shape, dtype=jnp.float32)
+    lat32.gmg.surrogate = A_override is not None
 
 
 def setup_gmg(

@@ -112,11 +112,22 @@ def test_burgers_step_weights_match_cell_path(monkeypatch):
         "output": {"grid": {"bbox": [0, 1, 0, 1], "nx": 30, "ny": 30}},
     }
     monkeypatch.setenv("PDEBENCH_TPU_FORCE_STENCIL", "1")
+    # with the exact cell-based f64 outer, the stencil path must match
+    # the cell scan to refinement accuracy
+    monkeypatch.setenv("PDEBENCH_TPU_STEP_OUTER", "cell")
     r1 = OracleSolver().solve(cfg)
+    # the default stencil-cast f64 outer applies the f32 step weights
+    # cast to f64: a ~1e-7 relative operator perturbation, so only
+    # ~1e-6 absolute agreement is expected (far below the time-
+    # discretization error it rides under)
+    monkeypatch.setenv("PDEBENCH_TPU_STEP_OUTER", "stencil")
+    r1c = OracleSolver().solve(cfg)
     monkeypatch.setenv("PDEBENCH_TPU_FORCE_STENCIL", "0")
     r2 = OracleSolver().solve(cfg)
     np.testing.assert_allclose(r1.reference, r2.reference, atol=2e-8)
     assert abs(r1.baseline_error - r2.baseline_error) < 1e-7
+    np.testing.assert_allclose(r1c.reference, r2.reference, atol=1e-5)
+    assert abs(r1c.baseline_error - r2.baseline_error) < 1e-4
 
 
 def test_stencil_ir_solve_matches_f64(monkeypatch):
