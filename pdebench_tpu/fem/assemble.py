@@ -33,6 +33,25 @@ from .mesh import Mesh
 from .spaces import FunctionSpace
 
 
+def _any_jax(*ops) -> bool:
+    """True when any operand is a jax array or tracer."""
+    return any(isinstance(o, jax.Array) for o in ops)
+
+
+def xeinsum(spec: str, *ops):
+    """einsum that stays on the HOST for host data.
+
+    On the axon platform every eager device op is a remote round trip
+    (plus a remote compile on first touch), so setup-path assembly must
+    run in numpy (CLAUDE.md). Traced/jax operands promote to
+    jnp.einsum automatically, so the same kernels serve both the
+    setup path (numpy in, numpy out) and in-jit per-step assembly
+    (burgers lagged convection, Newton Jacobians)."""
+    if _any_jax(*ops):
+        return jnp.einsum(spec, *ops)
+    return np.einsum(spec, *ops, optimize=True)
+
+
 # ---------------------------------------------------------------------------
 # Geometry factors
 # ---------------------------------------------------------------------------
@@ -64,7 +83,10 @@ class CellBatch:
 
     @property
     def wdetJ(self) -> jnp.ndarray:  # (n_cells, nq)
-        return self.qw[None, :] * jnp.broadcast_to(
+        bcast = (
+            jnp.broadcast_to if _any_jax(self.detJ) else np.broadcast_to
+        )
+        return self.qw[None, :] * bcast(
             self.detJ, (self.qpts.shape[0], self.qw.shape[0])
         )
 
@@ -78,12 +100,10 @@ class CellBatch:
         the full-dataset sweep."""
         gp = getattr(self, "_grad_phys", None)
         if gp is None:
-            gp = jnp.asarray(
-                np.einsum(
-                    "qik,cqdk->cqid",
-                    np.asarray(self.dphi),
-                    np.asarray(self.invJ),
-                )
+            gp = np.einsum(
+                "qik,cqdk->cqid",
+                np.asarray(self.dphi),
+                np.asarray(self.invJ),
             )
             object.__setattr__(self, "_grad_phys", gp)
         return gp
@@ -98,10 +118,8 @@ class CellBatch:
         lp = getattr(self, "_laplace_phys", None)
         if lp is None:
             iJ = np.asarray(self.invJ)
-            lp = jnp.asarray(
-                np.einsum(
-                    "qikl,cqak,cqal->cqi", np.asarray(self.d2phi), iJ, iJ
-                )
+            lp = np.einsum(
+                "qikl,cqak,cqal->cqi", np.asarray(self.d2phi), iJ, iJ
             )
             object.__setattr__(self, "_laplace_phys", lp)
         return lp
@@ -110,7 +128,9 @@ class CellBatch:
 def _det_inv(J: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched explicit det/inverse for 1x1/2x2/3x3 trailing dims.
 
-    Avoids LU-based linalg on device (TPU-hostile for tiny matrices)."""
+    Avoids LU-based linalg on device (TPU-hostile for tiny matrices).
+    Host (numpy) inputs stay host-side."""
+    stack = jnp.stack if _any_jax(J) else np.stack
     d = J.shape[-1]
     if d == 1:
         det = J[..., 0, 0]
@@ -121,8 +141,8 @@ def _det_inv(J: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         c, e = J[..., 1, 0], J[..., 1, 1]
         det = a * e - b * c
         inv = (
-            jnp.stack(
-                [jnp.stack([e, -b], -1), jnp.stack([-c, a], -1)], -2
+            stack(
+                [stack([e, -b], -1), stack([-c, a], -1)], -2
             )
             / det[..., None, None]
         )
@@ -140,11 +160,11 @@ def _det_inv(J: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         c21 = m[..., 0, 2] * m[..., 1, 0] - m[..., 0, 0] * m[..., 1, 2]
         c22 = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
         inv = (
-            jnp.stack(
+            stack(
                 [
-                    jnp.stack([c00, c10, c20], -1),
-                    jnp.stack([c01, c11, c21], -1),
-                    jnp.stack([c02, c12, c22], -1),
+                    stack([c00, c10, c20], -1),
+                    stack([c01, c11, c21], -1),
+                    stack([c02, c12, c22], -1),
                 ],
                 -2,
             )
@@ -155,28 +175,35 @@ def _det_inv(J: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def cell_batch(mesh: Mesh, degree: int, qdegree: Optional[int] = None) -> CellBatch:
-    """Build geometry factors for a mesh/element/quadrature combination."""
+    """Build geometry factors for a mesh/element/quadrature combination.
+
+    Entirely HOST-side (numpy): on the axon platform each eager device
+    op is a remote round trip, and geometry factors are setup-path data
+    consumed either by numpy assembly (xeinsum) or as constants inside
+    jitted solves."""
     if qdegree is None:
         qdegree = 2 * degree + 2
     t = refelem.element_tables(mesh.cell_type, degree, qdegree)
-    verts = jnp.asarray(mesh.coords[mesh.cells])  # (c, nv, d)
-    gphi = jnp.asarray(t.geom_phi)
-    gdphi = jnp.asarray(t.geom_dphi)
-    qpts = jnp.einsum("qv,cvd->cqd", gphi, verts)
+    verts = np.asarray(mesh.coords[mesh.cells])  # (c, nv, d)
+    gphi = np.asarray(t.geom_phi)
+    gdphi = np.asarray(t.geom_dphi)
+    qpts = np.einsum("qv,cvd->cqd", gphi, verts, optimize=True)
     if refelem.is_simplex(mesh.cell_type):
         # affine: evaluate Jacobian at a single point
-        J = jnp.einsum("vk,cvd->ckd", gdphi[0], verts)[:, None]  # (c,1,k,d)
+        J = np.einsum(
+            "vk,cvd->ckd", gdphi[0], verts, optimize=True
+        )[:, None]  # (c,1,k,d)
     else:
-        J = jnp.einsum("qvk,cvd->cqkd", gdphi, verts)
+        J = np.einsum("qvk,cvd->cqkd", gdphi, verts, optimize=True)
     det, invJ = _det_inv(J)
-    detJ = jnp.abs(det)
+    detJ = np.abs(det)
     return CellBatch(
         cell_type=mesh.cell_type,
         degree=degree,
-        phi=jnp.asarray(t.phi),
-        dphi=jnp.asarray(t.dphi),
-        d2phi=jnp.asarray(t.d2phi),
-        qw=jnp.asarray(t.qweights),
+        phi=np.asarray(t.phi),
+        dphi=np.asarray(t.dphi),
+        d2phi=np.asarray(t.d2phi),
+        qw=np.asarray(t.qweights),
         qpts=qpts,
         invJ=invJ,
         detJ=detJ,
@@ -192,24 +219,24 @@ def local_stiffness(cb: CellBatch, coef_q: Optional[jnp.ndarray] = None):
     """∫ coef ∇u·∇v : (n_cells, nl, nl)."""
     w = cb.wdetJ if coef_q is None else cb.wdetJ * coef_q
     g = cb.grad_phys()
-    return jnp.einsum("cqid,cqjd,cq->cij", g, g, w)
+    return xeinsum("cqid,cqjd,cq->cij", g, g, w)
 
 
 def local_mass(cb: CellBatch, coef_q: Optional[jnp.ndarray] = None):
     """∫ coef u v."""
     w = cb.wdetJ if coef_q is None else cb.wdetJ * coef_q
-    return jnp.einsum("qi,qj,cq->cij", cb.phi, cb.phi, w)
+    return xeinsum("qi,qj,cq->cij", cb.phi, cb.phi, w)
 
 
 def local_advection(cb: CellBatch, beta_q: jnp.ndarray):
     """∫ (β·∇u) v with β (n_cells, nq, d). Row index = test fn v."""
     g = cb.grad_phys()
-    return jnp.einsum("qi,cqjd,cqd,cq->cij", cb.phi, g, beta_q, cb.wdetJ)
+    return xeinsum("qi,cqjd,cqd,cq->cij", cb.phi, g, beta_q, cb.wdetJ)
 
 
 def local_load(cb: CellBatch, f_q: jnp.ndarray):
     """∫ f v : (n_cells, nl)."""
-    return jnp.einsum("qi,cq->ci", cb.phi, cb.wdetJ * f_q)
+    return xeinsum("qi,cq->ci", cb.phi, cb.wdetJ * f_q)
 
 
 def local_supg(
@@ -224,12 +251,12 @@ def local_supg(
     pdebench/oracle/convection_diffusion.py:85-94 (tau = α h / (2|β|)).
     """
     g = cb.grad_phys()
-    bg = jnp.einsum("cqid,cqd->cqi", g, beta_q)  # β·∇φ
+    bg = xeinsum("cqid,cqd->cqi", g, beta_q)  # β·∇φ
     w = cb.wdetJ * tau_c[:, None]
-    out = jnp.einsum("cqi,cqj,cq->cij", bg, bg, w)
+    out = xeinsum("cqi,cqj,cq->cij", bg, bg, w)
     if epsilon != 0.0:
         lap = cb.laplace_phys()
-        out = out - epsilon * jnp.einsum("cqi,cqj,cq->cij", bg, lap, w)
+        out = out - epsilon * xeinsum("cqi,cqj,cq->cij", bg, lap, w)
     return out
 
 
@@ -251,18 +278,18 @@ def local_elasticity(
     wmu = w * mu if jnp.ndim(mu) else w * mu
     wlam = w * lam if jnp.ndim(lam) else w * lam
     d = g.shape[-1]
-    t1 = jnp.einsum("cqib,cqja,cq->ciajb", g, g, wmu)
-    t2 = jnp.einsum("cqid,cqjd,cq->cij", g, g, wmu)
-    t3 = jnp.einsum("cqia,cqjb,cq->ciajb", g, g, wlam)
-    eye = jnp.eye(d)
-    K = t1 + t3 + jnp.einsum("cij,ab->ciajb", t2, eye)
+    t1 = xeinsum("cqib,cqja,cq->ciajb", g, g, wmu)
+    t2 = xeinsum("cqid,cqjd,cq->cij", g, g, wmu)
+    t3 = xeinsum("cqia,cqjb,cq->ciajb", g, g, wlam)
+    eye = np.eye(d)
+    K = t1 + t3 + xeinsum("cij,ab->ciajb", t2, eye)
     c, nl = K.shape[0], K.shape[1]
     return K.reshape(c, nl * d, nl * d)
 
 
 def local_vector_load(cb: CellBatch, f_q: jnp.ndarray) -> jnp.ndarray:
     """∫ f . v with f_q (n_cells, nq, d) -> (n_cells, nl*d) interleaved."""
-    b = jnp.einsum("qi,cqa,cq->cia", cb.phi, f_q, cb.wdetJ)
+    b = xeinsum("qi,cqa,cq->cia", cb.phi, f_q, cb.wdetJ)
     c, nl, d = b.shape
     return b.reshape(c, nl * d)
 
@@ -276,8 +303,8 @@ def local_vector_laplacian(cb: CellBatch, coef=1.0) -> jnp.ndarray:
     """
     Ks = local_stiffness(cb) * coef  # (c, nl, nl)
     d = cb.dphi.shape[-1]
-    eye = jnp.eye(d)
-    K = jnp.einsum("cij,ab->ciajb", Ks, eye)
+    eye = np.eye(d)
+    K = xeinsum("cij,ab->ciajb", Ks, eye)
     c, nl = Ks.shape[0], Ks.shape[1]
     return K.reshape(c, nl * d, nl * d)
 
@@ -291,7 +318,7 @@ def local_divergence(
     saddle system is [[A, G], [G^T, 0]] (a = ... - p div v - q div u).
     """
     g = cb.grad_phys()  # (c, q, i, d)
-    G = -jnp.einsum("cqia,qj,cq->ciaj", g, psi, cb.wdetJ)
+    G = -xeinsum("cqia,qj,cq->ciaj", g, psi, cb.wdetJ)
     c, nl, d, nlp = G.shape
     return G.reshape(c, nl * d, nlp)
 
@@ -301,8 +328,8 @@ def local_supg_load(
 ):
     """SUPG rhs term ∫ tau (β·∇v) f : (n_cells, nl)."""
     g = cb.grad_phys()
-    bg = jnp.einsum("cqid,cqd->cqi", g, beta_q)
-    return jnp.einsum("cqi,cq->ci", bg, cb.wdetJ * tau_c[:, None] * f_q)
+    bg = xeinsum("cqid,cqd->cqi", g, beta_q)
+    return xeinsum("cqi,cq->ci", bg, cb.wdetJ * tau_c[:, None] * f_q)
 
 
 # ---------------------------------------------------------------------------
