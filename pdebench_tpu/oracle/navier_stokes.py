@@ -344,6 +344,7 @@ class NavierStokesSolver:
                     break  # converged, or diverging — stop burning LUs
                 Ju = jacobian_u_block(jnp.asarray(x))
                 delta = None
+                flu = None
                 t_l0 = _time.perf_counter()
                 if device_lin is not None:
                     d_dev, conv, its_dev = device_lin(
@@ -358,9 +359,8 @@ class NavierStokesSolver:
                     K = mixed.saddle_to_scipy(
                         Ju, G_loc, V.dofmap, Q.dofmap_scalar, V.ndof, Q.ndof
                     )
-                    delta = directmod.solve_direct_constrained(
-                        K, -r, mask_np, np.zeros(ctx.N)
-                    )
+                    flu = directmod.ConstrainedLU(K, mask_np)
+                    delta = flu.solve(-r)
                 total_lin += 1
                 _phase_t["lin"] += _time.perf_counter() - t_l0
                 # backtracking line search ('bt')
@@ -376,6 +376,28 @@ class NavierStokesSolver:
                 x = x + t * delta
                 r = np.asarray(residual(jnp.asarray(x)))
                 rn = np.linalg.norm(r)
+                # frozen-Jacobian (Shamanskii) steps: reuse the
+                # factorization while a back-substitution still buys a
+                # >=25% residual decrease — it is ~50x cheaper than a
+                # fresh CSR build + factor on this host. Accepted steps
+                # converge linearly near the root; the first
+                # non-improving step falls back to a fresh Jacobian.
+                while flu is not None and rn > tol and np.isfinite(rn):
+                    t_f0 = _time.perf_counter()
+                    d2 = flu.solve(-r)
+                    _phase_t["lin"] += _time.perf_counter() - t_f0
+                    t2, accepted = 1.0, False
+                    for _ in range(6):
+                        xn = x + t2 * d2
+                        rv = np.asarray(residual(jnp.asarray(xn)))
+                        rn_new = np.linalg.norm(rv)
+                        if rn_new <= 0.75 * rn:
+                            x, r, rn = xn, rv, rn_new
+                            accepted = True
+                            break
+                        t2 *= 0.5
+                    if not accepted:
+                        break
             return x, rn, total_lin, bool(rn <= tol)
 
         def stokes_init(nu_init):

@@ -44,3 +44,41 @@ def solve_direct_constrained(
 def lu_factorization(A_ff: sps.spmatrix):
     """Cache-friendly handle for repeated solves (transient problems)."""
     return spla.splu(A_ff.tocsc())
+
+
+class ConstrainedLU:
+    """Reusable constrained factorization: factor once, back-substitute
+    many times.
+
+    The Shamanskii/frozen-Jacobian Newton variant in the NS oracle
+    (oracle/navier_stokes.py) re-uses one SuperLU factorization for
+    several Newton steps — a back-substitution is ~50x cheaper than a
+    fresh factor on this host, and each stale step is accepted only if
+    it still reduces the residual. Semantics match
+    solve_direct_constrained(A, b, mask, g) exactly on the first solve.
+    """
+
+    def __init__(self, A: sps.spmatrix, mask: Optional[np.ndarray] = None):
+        A = A.tocsr()
+        self.n = A.shape[0]
+        if mask is None:
+            self.mask = None
+            self.lu = spla.splu(A.tocsc())
+            return
+        mask = np.asarray(mask, dtype=bool)
+        self.mask = mask
+        self.free = np.nonzero(~mask)[0]
+        self.fixed = np.nonzero(mask)[0]
+        self.A_fg = A[self.free][:, self.fixed]
+        self.lu = spla.splu(A[self.free][:, self.free].tocsc())
+
+    def solve(
+        self, b: np.ndarray, g: Optional[np.ndarray] = None
+    ) -> np.ndarray:
+        if self.mask is None:
+            return self.lu.solve(np.asarray(b))
+        g = np.zeros(self.n) if g is None else np.asarray(g, np.float64)
+        rhs = np.asarray(b)[self.free] - self.A_fg @ g[self.fixed]
+        x = np.array(g, dtype=np.float64)
+        x[self.free] = self.lu.solve(rhs)
+        return x
