@@ -261,19 +261,26 @@ def solve_constrained_ir(
                             else build_fused_block_inner_cg
                         )
                         inner_custom = builder(gmg, inner_iters)
-                    elif gmg_kind == "LatticeGMG" and _fused_mode in (
-                        "arnoldi",
+                    elif gmg_kind == "LatticeGMG" and (
+                        _fused_mode == "arnoldi"
+                        or (
+                            getattr(gmg, "surrogate", False)
+                            and ndof >= 20000
+                        )
                     ):
-                        # STEADY fused Arnoldi, opt-in only
-                        # (PDEBENCH_TPU_FUSED=arnoldi). TPU A/B on the
-                        # dataset cases measured it LOSING to the plain
-                        # XLA Arnoldi: convdiff_high_pe 63.5s vs 1.09s
-                        # (f32 MGS orthogonality loss degrades the
-                        # subspace on high-Pe SUPG operators),
-                        # helmholtz_basic_k5 ~0.54s vs 0.43s. Kept for
-                        # experiments; the per-step scan path above is
-                        # where the fused cycle wins (launch-bound
-                        # inner inside a lax.scan).
+                        # STEADY fused Arnoldi. TPU A/B: it LOSES to
+                        # the plain XLA Arnoldi on own-operator
+                        # hierarchies (convdiff_high_pe 63.5s vs 1.09s
+                        # — f32 MGS orthogonality loss degrades the
+                        # subspace on high-Pe SUPG operators) and on
+                        # SMALL surrogate cases (helmholtz_basic_k5
+                        # 14.6k dofs: ~0.54s vs 0.43s), but WINS
+                        # ~10-15% on LARGE surrogate (shifted-
+                        # laplacian) systems: helmholtz k12/k20/k25 at
+                        # 26-49k dofs measured 0.92/2.00/2.39s fused vs
+                        # 1.00/2.35/2.73s with Richardson M. Default =
+                        # large-surrogate only; PDEBENCH_TPU_FUSED=
+                        # arnoldi forces it everywhere for experiments.
                         if getattr(gmg, "surrogate", False):
                             # the V-cycle hierarchy was built from a
                             # SURROGATE operator (helmholtz's shifted
