@@ -266,3 +266,45 @@ class TestHostSideAssembly:
         np.testing.assert_allclose(
             np.asarray(C_tr), C_np, rtol=1e-12, atol=1e-15
         )
+
+
+class TestConstrainedLU:
+    def test_matches_solve_direct_constrained(self):
+        import scipy.sparse as sps
+
+        from pdebench_tpu.solvers import direct as dm
+
+        rng = np.random.default_rng(3)
+        n = 60
+        A = sps.random(n, n, density=0.15, random_state=7).tocsr()
+        A = A + A.T + sps.eye(n) * (n / 2)
+        mask = np.zeros(n, bool)
+        mask[rng.choice(n, 12, replace=False)] = True
+        g = rng.standard_normal(n)
+        b = rng.standard_normal(n)
+
+        x_ref = dm.solve_direct_constrained(A, b, mask, g)
+        flu = dm.ConstrainedLU(A, mask)
+        x = flu.solve(b, g)
+        np.testing.assert_allclose(x, x_ref, rtol=1e-12, atol=1e-12)
+        # repeated back-substitutions: same factorization, new rhs
+        b2 = rng.standard_normal(n)
+        x2 = flu.solve(b2, g)
+        x2_ref = dm.solve_direct_constrained(A, b2, mask, g)
+        np.testing.assert_allclose(x2, x2_ref, rtol=1e-12, atol=1e-12)
+
+    def test_unmasked(self):
+        import scipy.sparse as sps
+
+        from pdebench_tpu.solvers import direct as dm
+
+        rng = np.random.default_rng(5)
+        n = 40
+        A = sps.random(n, n, density=0.2, random_state=9).tocsr()
+        A = A + A.T + sps.eye(n) * n
+        b = rng.standard_normal(n)
+        flu = dm.ConstrainedLU(A)
+        np.testing.assert_allclose(
+            flu.solve(b), dm.solve_direct_constrained(A, b),
+            rtol=1e-12, atol=1e-12,
+        )
