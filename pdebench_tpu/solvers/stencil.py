@@ -193,6 +193,88 @@ class LatticeWeightMap:
         return out
 
 
+class BilinearLatticeWeightMap:
+    """Scatter-free per-step stencil weights for operators LINEAR in a
+    nodal coefficient field (the lagged Burgers convection).
+
+    When the cell-local matrix is N_local[c,i,j] = sum_k T[c,i,j,k] *
+    u[dofmap[c,k]], the scattered stencil weights are a fixed bilinear
+    map of u that regroups into shifted multiply-adds on the lattice:
+
+        W(u)[o, p] = sum_{o2} P[o, o2, p] * u_lat[p + o2]
+
+    P is built host-side once (bincount over (c,i,j,k), boundary cells
+    included exactly — no interior/boundary split needed), and the
+    per-step build inside the scan becomes |pairs| fused FMA planes:
+    pure VPU work. The in-jit LatticeWeightMap scatter it replaces
+    serializes on TPU (~the dominant per-step cost at benchmark sizes).
+    Bit-equivalence vs the scatter path is up to f32 reassociation of
+    the same products — the same order as the accepted stencil-cast
+    outer perturbation.
+
+    `P` is exposed as an array (pass it back through `weights_w` as a
+    jit ARGUMENT: large closure constants trigger XLA constant-folding
+    stalls on CPU).
+    """
+
+    def __init__(
+        self,
+        wmap: LatticeWeightMap,
+        lattice: Lattice,
+        dofmap: np.ndarray,
+        T_np: np.ndarray,
+        dtype=jnp.float32,
+    ):
+        shape = wmap.shape
+        K = len(wmap.offsets)
+        n_lat = int(np.prod(shape))
+        dm = np.asarray(dofmap)
+        c, nl = dm.shape
+        flat_ij = wmap._flat_np.reshape(c, nl, nl)
+        o_idx = (flat_ij // n_lat).astype(np.int64)  # (c, i, j)
+        site_row = (flat_ij % n_lat)[:, :, 0]  # (c, i): row site
+        key = (
+            o_idx[:, :, :, None] * K + o_idx[:, :, None, :]
+        ) * n_lat + site_row[:, :, None, None]
+        P = np.bincount(
+            key.reshape(-1),
+            weights=np.asarray(T_np, dtype=np.float64).reshape(-1),
+            minlength=K * K * n_lat,
+        ).reshape(K, K, n_lat)
+        # prune structurally-zero (out-offset, tap-offset) pairs
+        nz = np.abs(P).reshape(K * K, n_lat).max(axis=1) > 0.0
+        pairs = [
+            (a, b) for a in range(K) for b in range(K) if nz[a * K + b]
+        ]
+        self.pairs = pairs
+        self.offsets = wmap.offsets
+        self.pad = wmap.pad
+        self.shape = shape
+        self.K = K
+        self.P_np = np.stack(
+            [P[a, b].reshape(shape) for a, b in pairs]
+        ).astype(np.float32 if dtype == jnp.float32 else np.float64)
+
+    @property
+    def P(self) -> jnp.ndarray:
+        return jnp.asarray(self.P_np)
+
+    def weights_w(self, P: jnp.ndarray, u_lat: jnp.ndarray) -> jnp.ndarray:
+        """(pairs,)+shape plane stack + lattice-shaped u -> (K,)+shape
+        stencil weights; traceable, no scatters."""
+        up = jnp.pad(u_lat, self.pad)
+        taps = {}
+        for b in sorted({b for _, b in self.pairs}):
+            start = tuple(self.pad + o for o in self.offsets[b])
+            taps[b] = jax.lax.dynamic_slice(up, start, self.shape)
+        acc = [None] * self.K
+        for idx, (a, b) in enumerate(self.pairs):
+            term = P[idx] * taps[b]
+            acc[a] = term if acc[a] is None else acc[a] + term
+        zero = jnp.zeros(self.shape, u_lat.dtype)
+        return jnp.stack([w if w is not None else zero for w in acc])
+
+
 def lattice_weight_map(
     lattice: Lattice, dofmap: np.ndarray, max_pad: int = 4
 ) -> Optional[LatticeWeightMap]:

@@ -101,6 +101,33 @@ def test_navier_stokes_newton_mms():
     assert r.baseline_error < 2e-3, r.solver_info
 
 
+def test_navier_stokes_device_stokes_init_matches(monkeypatch):
+    """The device MINRES Stokes init (TPU default; forced on here) must
+    leave the Newton result unchanged vs the host-LU init path."""
+    cfg = {
+        "pde": {
+            "type": "navier_stokes",
+            "pde_params": {"nu": 0.5},
+            "manufactured_solution": {
+                "u": ["pi*cos(pi*y)*sin(pi*x)", "-pi*cos(pi*x)*sin(pi*y)"],
+                "p": "0",
+            },
+        },
+        "domain": {"type": "unit_square"},
+        "mesh": {"resolution": 12, "cell_type": "triangle"},
+        "fem": {"degree_u": 2, "degree_p": 1},
+        "bc": {"dirichlet": {"on": "all", "value": ["0", "0"]}},
+        "output": {"format": "npz", "field": "velocity_magnitude", "grid": _grid()},
+        "oracle_solver": {"rtol": 1e-9, "atol": 1e-11, "max_it": 30, "init": "stokes"},
+    }
+    monkeypatch.setenv("PDEBENCH_TPU_NS_DEVICE_INIT", "1")
+    r_dev = S.solve(cfg)
+    monkeypatch.setenv("PDEBENCH_TPU_NS_DEVICE_INIT", "0")
+    r_host = S.solve(cfg)
+    assert abs(r_dev.baseline_error - r_host.baseline_error) < 1e-8
+    np.testing.assert_allclose(r_dev.reference, r_host.reference, atol=1e-7)
+
+
 def test_navier_stokes_lid_driven_segments():
     """Segment BCs (lid-driven cavity) exercise the selector DSL."""
     cfg = {

@@ -89,6 +89,55 @@ def test_lattice_weight_map_matches_operator():
     np.testing.assert_allclose(y, np.asarray(op(jnp.asarray(u))), rtol=1e-12, atol=1e-12)
 
 
+def test_bilinear_weight_map_matches_scatter():
+    """Scatter-free bilinear per-step weights (lagged Burgers
+    convection) must reproduce the scattered LatticeWeightMap build for
+    an arbitrary nodal coefficient field, boundary cells included."""
+    from pdebench_tpu.fem.assemble import local_advection
+    from pdebench_tpu.solvers.stencil import (
+        BilinearLatticeWeightMap,
+        lattice_weight_map,
+    )
+
+    for deg, res in ((1, 12), (2, 7)):
+        mesh = unit_square_mesh(res)
+        space = FunctionSpace(mesh, deg)
+        cb = cell_batch(mesh, deg)
+        lat = detect_lattice(space.dof_coords)
+        wmap = lattice_weight_map(lat, space.dofmap_scalar)
+        assert wmap is not None
+
+        rng = np.random.default_rng(deg)
+        u = rng.standard_normal(space.ndof)
+        # scattered reference: beta = u_n * (1, 1) at quadrature points
+        un_q = jnp.einsum(
+            "qi,ci->cq", cb.phi, jnp.asarray(u)[space.dofmap_scalar]
+        )
+        beta_q = jnp.repeat(un_q[..., None], 2, axis=-1)
+        W_ref = np.asarray(
+            wmap.weights(local_advection(cb, beta_q).astype(jnp.float32))
+        )
+
+        gph = np.asarray(cb.grad_phys())
+        T_adv = np.einsum(
+            "cq,qi,qk,cqj->cijk",
+            np.asarray(cb.wdetJ),
+            np.asarray(cb.phi),
+            np.asarray(cb.phi),
+            gph.sum(-1),
+            optimize=True,
+        )
+        bwm = BilinearLatticeWeightMap(
+            wmap, lat, space.dofmap_scalar, T_adv
+        )
+        u_lat = jnp.asarray(
+            lat.embed_np(u.astype(np.float32), 0.0).reshape(wmap.shape)
+        )
+        W_blt = np.asarray(bwm.weights_w(bwm.P, u_lat))
+        scale = np.abs(W_ref).max()
+        np.testing.assert_allclose(W_blt, W_ref, atol=2e-6 * scale)
+
+
 def test_burgers_step_weights_match_cell_path(monkeypatch):
     """Per-step stencil weights (lagged convection) must reproduce the
     cell-based scan end-to-end."""
