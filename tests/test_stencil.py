@@ -179,6 +179,38 @@ def test_burgers_step_weights_match_cell_path(monkeypatch):
     assert abs(r1c.baseline_error - r2.baseline_error) < 1e-4
 
 
+def test_rd_bilinear_jacobian_matches_scatter_path(monkeypatch):
+    """The interpolated-R'(u) bilinear Jacobian (inexact Newton) must
+    reproduce the quadrature-exact scattered-Jacobian solve: the Newton
+    loop enforces the same exact-residual tolerance either way."""
+    from pdebench_tpu.oracle import OracleSolver
+
+    cfg = {
+        "pde": {
+            "type": "reaction_diffusion",
+            "pde_params": {
+                "epsilon": 0.1,
+                "reaction": {"type": "cubic", "alpha": 1.0, "beta": 1.0},
+            },
+            "manufactured_solution": {"u": "exp(-t)*sin(pi*x)*sin(pi*y)"},
+            "time": {"t0": 0.0, "t_end": 0.05, "dt": 0.01},
+        },
+        "domain": {"type": "unit_square"},
+        "mesh": {"resolution": 72},
+        "fem": {"degree": 1},
+        "bc": {"dirichlet": {"on": "all", "value": "0"}},
+        "output": {"grid": {"bbox": [0, 1, 0, 1], "nx": 30, "ny": 30}},
+        "oracle_solver": {"rtol": 1e-9, "atol": 1e-12, "max_it": 30},
+    }
+    monkeypatch.setenv("PDEBENCH_TPU_FORCE_STENCIL", "1")
+    monkeypatch.setenv("PDEBENCH_TPU_RD_CONV", "1")
+    r1 = OracleSolver().solve(cfg)
+    monkeypatch.setenv("PDEBENCH_TPU_RD_CONV", "0")
+    r2 = OracleSolver().solve(cfg)
+    np.testing.assert_allclose(r1.reference, r2.reference, atol=1e-6)
+    assert abs(r1.baseline_error - r2.baseline_error) < 1e-5
+
+
 def test_stencil_ir_solve_matches_f64(monkeypatch):
     """End-to-end: forced stencil path must reproduce the standard solve."""
     import os
