@@ -10,9 +10,12 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA-CPU's constant_folding pass costs 1-3s per big constant-index
+# scatter-add it folds (see CLAUDE.md) — pure compile-time loss here
+if "xla_disable_hlo_passes" not in flags:
+    flags = (flags + " --xla_disable_hlo_passes=constant_folding").strip()
+os.environ["XLA_FLAGS"] = flags
 
 # sandbox subprocesses spawned by tests (executor runners) read this to
 # apply the same override in the child
