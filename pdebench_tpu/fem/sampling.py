@@ -103,9 +103,38 @@ def locate_points(mesh: Mesh, points: np.ndarray) -> PointLocation:
         # solve E^T lam = p - v0  -> lam = (p - v0) @ inv(E)^T; E[k, :] edge vecs
         A = np.swapaxes(E, -1, -2)  # columns are edge vectors
         rhs = pts[:, None, :] - v0
-        lam = np.linalg.solve(
-            np.broadcast_to(A, rhs.shape[:2] + (dim, dim)), rhs[..., None]
-        )[..., 0]
+        # explicit Cramer solves: LAPACK's batched solve on (P, K, d, d)
+        # costs ~10x the arithmetic at these sizes
+        if dim == 2:
+            a, b = A[..., 0, 0], A[..., 0, 1]
+            c, d = A[..., 1, 0], A[..., 1, 1]
+            det = a * d - b * c
+            det = np.where(np.abs(det) > 1e-300, det, 1e-300)
+            r0, r1 = rhs[..., 0], rhs[..., 1]
+            lam = np.stack(
+                [(d * r0 - b * r1) / det, (a * r1 - c * r0) / det],
+                axis=-1,
+            )
+        elif dim == 3:
+            c0, c1, c2 = A[..., :, 0], A[..., :, 1], A[..., :, 2]
+            cr12 = np.cross(c1, c2)
+            det = np.einsum("...i,...i->...", c0, cr12)
+            det = np.where(np.abs(det) > 1e-300, det, 1e-300)
+            lam = np.stack(
+                [
+                    np.einsum("...i,...i->...", rhs, cr12) / det,
+                    np.einsum("...i,...i->...", rhs, np.cross(c2, c0))
+                    / det,
+                    np.einsum("...i,...i->...", rhs, np.cross(c0, c1))
+                    / det,
+                ],
+                axis=-1,
+            )
+        else:  # pragma: no cover
+            lam = np.linalg.solve(
+                np.broadcast_to(A, rhs.shape[:2] + (dim, dim)),
+                rhs[..., None],
+            )[..., 0]
         lam0 = 1.0 - lam.sum(axis=-1)
         inside = (lam.min(axis=-1) >= -_TOL) & (lam0 >= -_TOL)
         ref = lam
