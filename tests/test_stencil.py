@@ -99,8 +99,16 @@ def test_bilinear_weight_map_matches_scatter():
         lattice_weight_map,
     )
 
-    for deg, res in ((1, 12), (2, 7)):
-        mesh = unit_square_mesh(res)
+    from pdebench_tpu.oracle import base as obase
+
+    meshes = [
+        (1, unit_square_mesh(12)),
+        (2, unit_square_mesh(7)),
+        # masked lattice (rectilinear l_shape): absent sites must stay
+        # zero-filled in the tap shifts
+        (1, obase.build_mesh({"type": "l_shape"}, {"resolution": 12})),
+    ]
+    for deg, mesh in meshes:
         space = FunctionSpace(mesh, deg)
         cb = cell_batch(mesh, deg)
         lat = detect_lattice(space.dof_coords)
