@@ -220,7 +220,10 @@ class ConvectionDiffusionSolver:
             err = scalar.mms_baseline_error(config, fem_grid, t_end=t_final)
             if err is None and "reference_config" in config:
                 ref = self.solve(
-                    scalar.merge_reference_config(config),
+                    scalar.merge_reference_config(
+                        config,
+                        refine_dt=dt * 0.5 if transient else None,
+                    ),
                     _compute_baseline=False,
                 )
                 err = compute_rel_L2_grid(fem_grid, ref.reference)

@@ -127,7 +127,7 @@ class HeatSolver:
                         A_sys, dofmap, b, mask, g, ndof, method, rtol, atol,
                         maxiter,
                     )
-                return x, (it, res)
+                return x, (it, res, conv)
 
             return jax.lax.scan(step, u0_arr, ts)
 
@@ -136,12 +136,36 @@ class HeatSolver:
             K = local_stiffness(cb, kq)
             M = local_mass(cb)
             A_sys = M + dt * K
-            u, (its, ress) = run_scan(A_sys, M, jnp.asarray(u0))
-            grid = ctx.sample(np.asarray(u))
-            return grid, {
+            u, (its, ress, convs) = run_scan(A_sys, M, jnp.asarray(u0))
+            info = {
                 "iterations": int(np.asarray(its).sum()),
                 "residual": float(np.asarray(ress)[-1]),
             }
+            if not bool(np.asarray(convs).all()):
+                # Host SuperLU safety net: the step matrix is CONSTANT,
+                # so one factorization + num_steps back-substitutions.
+                # A silently-unconverged iterative step used to be
+                # ACCEPTED (the v1 heat res-150-P2 baseline_error=1.19
+                # bug — a stalled IR outer with no preconditioner).
+                from ..fem.assemble import LocalOperator
+                from ..solvers.direct import ConstrainedLU
+
+                A_csr = LocalOperator(
+                    np.asarray(A_sys), space.dofmap_scalar, ndof
+                ).to_scipy()
+                mask_np = np.asarray(mask)
+                flu = ConstrainedLU(A_csr, mask_np)
+                M_op = LocalOperator(np.asarray(M), space.dofmap_scalar, ndof)
+                uh = np.asarray(u0, dtype=np.float64)
+                for t_next in np.asarray(ts):
+                    b = np.asarray(M_op(jnp.asarray(uh))) + dt * np.asarray(
+                        ctx.load_vector(f_fn(qpts, float(t_next)))
+                    )
+                    uh = flu.solve(b, np.asarray(g_fn(float(t_next))))
+                u = uh
+                info["fallback"] = "direct"
+            grid = ctx.sample(np.asarray(u))
+            return grid, info
 
         (fem_grid, info), t_warm, t_cold = base.timed_run(run)
         baseline_time = ctx.t_setup + t_warm
@@ -151,7 +175,9 @@ class HeatSolver:
             err = scalar.mms_baseline_error(config, fem_grid, t_end=t_final)
             if err is None and "reference_config" in config:
                 ref = self.solve(
-                    scalar.merge_reference_config(config),
+                    scalar.merge_reference_config(
+                        config, refine_dt=dt * 0.5
+                    ),
                     _compute_baseline=False,
                 )
                 err = compute_rel_L2_grid(fem_grid, ref.reference)

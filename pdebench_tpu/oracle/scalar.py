@@ -264,16 +264,34 @@ def override_bc_with_mms(
     return out
 
 
-def merge_reference_config(config: Dict[str, Any]) -> Dict[str, Any]:
+def merge_reference_config(
+    config: Dict[str, Any], refine_dt: Any = None
+) -> Dict[str, Any]:
     """Overlay a case's reference_config for the finer re-solve
-    (reference: oracle/poisson.py:125-158)."""
+    (reference: oracle/poisson.py:125-158).
+
+    refine_dt: transient oracles pass dt*0.5 — the upstream default
+    when reference_config carries no time override (heat.py:160,
+    wave.py:210, reaction_diffusion.py:442, convection_diffusion.py:304
+    all use `ref_dt = ref_time.get("dt", dt * 0.5)`)."""
     import copy
 
     ref = config.get("reference_config", {})
     out = copy.deepcopy(config)
     out.pop("reference_config", None)
+    if refine_dt is not None and "time" not in ref:
+        out.setdefault("pde", {}).setdefault("time", {})["dt"] = float(
+            refine_dt
+        )
     for key, val in ref.items():
-        if isinstance(val, dict) and isinstance(out.get(key), dict):
+        if key == "time" and isinstance(val, dict):
+            # reference_config carries `time` at top level but the
+            # solvers read pde.time: the reference re-solve keeps the
+            # case's t0/t_end and only refines the keys given (dt) —
+            # upstream: pdebench/oracle/heat.py:159-160
+            # (ref_dt = ref_cfg.get("time", {}).get("dt", dt*0.5))
+            out.setdefault("pde", {}).setdefault("time", {}).update(val)
+        elif isinstance(val, dict) and isinstance(out.get(key), dict):
             out[key].update(val)
         else:
             out[key] = val

@@ -167,7 +167,7 @@ class WaveSolver:
                         A_sys, dofmap, b, mask, g, ndof, method, rtol, atol,
                         maxiter,
                     )
-                return (x, u_n), (it, res)
+                return (x, u_n), (it, res, conv)
 
             (u, _), aux = jax.lax.scan(step, (u0_arr, um1_arr), t_ns)
             return u, aux
@@ -176,14 +176,42 @@ class WaveSolver:
             K = local_stiffness(cb)
             M = local_mass(cb)
             A_sys = inv_dt2 * M + THETA * c2 * K
-            u, (its, ress) = run_scan(
+            u, (its, ress, convs) = run_scan(
                 A_sys, M, K, jnp.asarray(u0), jnp.asarray(um1)
             )
-            grid = ctx.sample(np.asarray(u))
-            return grid, {
+            info = {
                 "iterations": int(np.asarray(its).sum()),
                 "residual": float(np.asarray(ress)[-1]),
             }
+            if not bool(np.asarray(convs).all()):
+                # host SuperLU safety net (constant step matrix): see
+                # heat.py — silently-unconverged steps must not be
+                # accepted as the oracle reference
+                from ..fem.assemble import LocalOperator
+                from ..solvers.direct import ConstrainedLU
+
+                A_csr = LocalOperator(
+                    np.asarray(A_sys), space.dofmap_scalar, ndof
+                ).to_scipy()
+                mask_np = np.asarray(mask)
+                flu = ConstrainedLU(A_csr, mask_np)
+                M_op = LocalOperator(np.asarray(M), space.dofmap_scalar, ndof)
+                K_op = LocalOperator(np.asarray(K), space.dofmap_scalar, ndof)
+                uh = np.asarray(u0, dtype=np.float64)
+                uhm1 = np.asarray(um1, dtype=np.float64)
+                for t_n in np.asarray(t_ns):
+                    b = (
+                        inv_dt2 * np.asarray(M_op(jnp.asarray(2.0 * uh - uhm1)))
+                        - (1.0 - 2.0 * THETA) * c2 * np.asarray(K_op(jnp.asarray(uh)))
+                        - THETA * c2 * np.asarray(K_op(jnp.asarray(uhm1)))
+                        + np.asarray(ctx.load_vector(f_fn(qpts, float(t_n))))
+                    )
+                    x = flu.solve(b, np.asarray(g_fn(float(t_n) + dt)))
+                    uhm1, uh = uh, x
+                u = uh
+                info["fallback"] = "direct"
+            grid = ctx.sample(np.asarray(u))
+            return grid, info
 
         (fem_grid, info), t_warm, t_cold = base.timed_run(run)
         baseline_time = ctx.t_setup + t_warm
@@ -193,7 +221,9 @@ class WaveSolver:
             err = scalar.mms_baseline_error(config, fem_grid, t_end=t_final)
             if err is None and "reference_config" in config:
                 ref = self.solve(
-                    scalar.merge_reference_config(config),
+                    scalar.merge_reference_config(
+                        config, refine_dt=dt * 0.5
+                    ),
                     _compute_baseline=False,
                 )
                 err = compute_rel_L2_grid(fem_grid, ref.reference)

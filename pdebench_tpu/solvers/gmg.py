@@ -20,8 +20,9 @@ preconditioner inside mixed-precision refinement for structured cases.
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
-from typing import Callable, List, Tuple
+from typing import Callable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -142,6 +143,9 @@ class GMGLevel:
     shape: Tuple[int, int]
     diag_inv: jnp.ndarray
     omega: float
+    # identity-padded shape restriction goes THROUGH when an axis point
+    # count is even (halving needs odd); None = direct halving
+    pad_to: Optional[Tuple[int, ...]] = None
 
 
 def _device_apply(level: GMGLevel, u: jnp.ndarray) -> jnp.ndarray:
@@ -202,6 +206,10 @@ class LatticeGMG:
     # is then only valid as a preconditioner, never as the Krylov
     # operator (see dispatch.solve_constrained_ir).
     surrogate: bool = False
+    # True when any level restricts through an identity-padded shape
+    # (even axis sizes mid-hierarchy); fused Pallas builders assume the
+    # pure-halving layout and must skip padded hierarchies.
+    padded: bool = False
 
     def precond(self) -> Callable:
         def vcycle(i: int, r: jnp.ndarray) -> jnp.ndarray:
@@ -211,8 +219,16 @@ class LatticeGMG:
             lv = self.levels[i]
             x = lv.omega * lv.diag_inv * r
             res = r - _device_apply(lv, x)
+            if lv.pad_to is not None:
+                res = jnp.pad(
+                    res,
+                    [(0, p - s) for s, p in zip(lv.shape, lv.pad_to)],
+                )
             xc = vcycle(i + 1, _device_restrict(res))
-            x = x + _device_prolong(xc, lv.shape)
+            xp = _device_prolong(xc, lv.pad_to or lv.shape)
+            if lv.pad_to is not None:
+                xp = xp[tuple(slice(0, s) for s in lv.shape)]
+            x = x + xp
             x = x + lv.omega * lv.diag_inv * (r - _device_apply(lv, x))
             return x
 
@@ -348,6 +364,7 @@ class BlockGMGLevel:
     d: int
     diag_inv: jnp.ndarray  # (..., d, d) block inverse
     omega: float
+    pad_to: Optional[Tuple[int, ...]] = None  # see GMGLevel.pad_to
 
 
 def _device_apply_block(lv: BlockGMGLevel, u: jnp.ndarray) -> jnp.ndarray:
@@ -383,6 +400,7 @@ class BlockLatticeGMG:
     coarse_shape: Tuple[int, ...]
     d: int
     surrogate: bool = False  # see LatticeGMG.surrogate
+    padded: bool = False  # see LatticeGMG.padded
 
     def precond(self) -> Callable:
         def vcycle(i: int, r: jnp.ndarray) -> jnp.ndarray:
@@ -395,8 +413,17 @@ class BlockLatticeGMG:
             )
             x = smooth(r)
             res = r - _device_apply_block(lv, x)
+            if lv.pad_to is not None:
+                res = jnp.pad(
+                    res,
+                    [(0, p - s) for s, p in zip(lv.shape, lv.pad_to)]
+                    + [(0, 0)],
+                )
             xc = vcycle(i + 1, _device_restrict_block(res))
-            x = x + _device_prolong_block(xc, lv.shape)
+            xp = _device_prolong_block(xc, lv.pad_to or lv.shape)
+            if lv.pad_to is not None:
+                xp = xp[tuple(slice(0, s) for s in lv.shape)]
+            x = x + xp
             x = x + smooth(r - _device_apply_block(lv, x))
             return x
 
@@ -433,6 +460,36 @@ def _block_level_from_np(W, offsets, shape, d, dtype) -> BlockGMGLevel:
     )
 
 
+def _pad_identity(W, offsets, shape, shape_pad) -> np.ndarray:
+    """Grow a stencil lattice with decoupled identity sites: weight
+    planes zero-padded (no row couples into the new slab), diagonal
+    plane = 1 at padded sites. The padded operator acts as the original
+    on the original block and as the identity on the slab."""
+    pads = [(0, p - s) for s, p in zip(shape, shape_pad)]
+    Wp = np.stack([np.pad(np.asarray(W)[k], pads) for k in range(len(W))])
+    for k, off in enumerate(offsets):
+        if all(o == 0 for o in off):
+            mask = np.ones(shape_pad, dtype=bool)
+            mask[tuple(slice(0, s) for s in shape)] = False
+            Wp[k][mask] = 1.0
+    return Wp
+
+
+def _pad_identity_block(W, offsets, shape, shape_pad, d) -> np.ndarray:
+    """Block analog of _pad_identity: spatial zero-pad, eye(d) diagonal
+    blocks at the padded sites."""
+    dim = len(shape)
+    pads = [(0, p - s) for s, p in zip(shape, shape_pad)] + [(0, 0), (0, 0)]
+    Wp = np.stack([np.pad(np.asarray(W)[k], pads) for k in range(len(W))])
+    for k, off in enumerate(offsets):
+        if all(o == 0 for o in off):
+            mask = np.ones(shape_pad, dtype=bool)
+            mask[tuple(slice(0, s) for s in shape)] = False
+            Wp[k][mask] = np.eye(d)
+    del dim
+    return Wp
+
+
 def _dense_coarse_inv(A: np.ndarray) -> np.ndarray:
     """Dense coarse-level inverse. LU-based inv (the constrained coarse
     operator is nonsingular); SVD pinv only as the singular fallback —
@@ -462,20 +519,37 @@ def setup_block_gmg(
 ) -> BlockLatticeGMG:
     """Block-stencil GMG for vector lattice operators (elasticity)."""
     levels: List[BlockGMGLevel] = []
+    padded = False
     W_cur = np.asarray(W, dtype=np.float64)
     offs_cur = list(map(tuple, offsets))
     shape_cur = tuple(shape)
     while (
         int(np.prod(shape_cur)) * d > coarse_size
         and len(levels) < max_levels
-        and all((s - 1) % 2 == 0 and s >= 5 for s in shape_cur)
+        and all(s >= 5 for s in shape_cur)
     ):
-        levels.append(
-            _block_level_from_np(W_cur, offs_cur, shape_cur, d, dtype)
-        )
-        W_cur, offs_cur, shape_cur = _coarsen_block_stencil(
-            W_cur, offs_cur, shape_cur, d
-        )
+        lv = _block_level_from_np(W_cur, offs_cur, shape_cur, d, dtype)
+        if any((s - 1) % 2 != 0 for s in shape_cur):
+            # even axis mid-hierarchy: identity-pad and keep coarsening
+            # (res-190 elasticity used to strand an 18k-dof coarse
+            # level here) — see setup_gmg
+            shape_pad = tuple(
+                s + 1 if (s - 1) % 2 != 0 else s for s in shape_cur
+            )
+            lv = dataclasses.replace(lv, pad_to=shape_pad)
+            padded = True
+            W_next = _pad_identity_block(
+                W_cur, offs_cur, shape_cur, shape_pad, d
+            )
+            levels.append(lv)
+            W_cur, offs_cur, shape_cur = _coarsen_block_stencil(
+                W_next, offs_cur, shape_pad, d
+            )
+        else:
+            levels.append(lv)
+            W_cur, offs_cur, shape_cur = _coarsen_block_stencil(
+                W_cur, offs_cur, shape_cur, d
+            )
     n = int(np.prod(shape_cur)) * d
     A = np.zeros((n, n))
     for j in range(n):
@@ -488,6 +562,7 @@ def setup_block_gmg(
         coarse_inv=coarse_inv,
         coarse_shape=shape_cur,
         d=d,
+        padded=padded,
     )
 
 
@@ -574,19 +649,38 @@ def setup_gmg(
     operator. W must already encode Dirichlet rows as identity (use
     stencil weights of the constrained matrix)."""
     levels: List[GMGLevel] = []
+    padded = False
     W_cur, offs_cur, shape_cur = np.asarray(W, dtype=np.float64), list(
         map(tuple, offsets)
     ), tuple(shape)
     while (
         int(np.prod(shape_cur)) > coarse_size
         and len(levels) < max_levels
-        # halving needs an odd point count (m+1 points, m even) per axis
-        and all((s - 1) % 2 == 0 and s >= 5 for s in shape_cur)
+        and all(s >= 5 for s in shape_cur)
     ):
-        levels.append(_level_from_np(W_cur, offs_cur, shape_cur, dtype))
-        W_cur, offs_cur, shape_cur = _coarsen_stencil(
-            W_cur, offs_cur, shape_cur
-        )
+        lv = _level_from_np(W_cur, offs_cur, shape_cur, dtype)
+        # halving needs an odd point count (m+1 points, m even) per
+        # axis; when an axis lands EVEN mid-hierarchy (301 -> 151 -> 76
+        # at res-150 P2: the silent heat/poisson no-GMG regression),
+        # pad it by ONE decoupled identity plane and keep coarsening —
+        # the V-cycle zero-pads residuals into (and crops corrections
+        # out of) the padded slab.
+        if any((s - 1) % 2 != 0 for s in shape_cur):
+            shape_pad = tuple(
+                s + 1 if (s - 1) % 2 != 0 else s for s in shape_cur
+            )
+            lv = dataclasses.replace(lv, pad_to=shape_pad)
+            padded = True
+            W_next = _pad_identity(W_cur, offs_cur, shape_cur, shape_pad)
+            levels.append(lv)
+            W_cur, offs_cur, shape_cur = _coarsen_stencil(
+                W_next, offs_cur, shape_pad
+            )
+        else:
+            levels.append(lv)
+            W_cur, offs_cur, shape_cur = _coarsen_stencil(
+                W_cur, offs_cur, shape_cur
+            )
     # dense coarse inverse
     n = int(np.prod(shape_cur))
     A = np.zeros((n, n))
@@ -596,5 +690,6 @@ def setup_gmg(
         A[:, j] = _apply_stencil_np(W_cur, offs_cur, e).reshape(-1)
     coarse_inv = jnp.asarray(_dense_coarse_inv(A)).astype(dtype)
     return LatticeGMG(
-        levels=levels, coarse_inv=coarse_inv, coarse_shape=shape_cur
+        levels=levels, coarse_inv=coarse_inv, coarse_shape=shape_cur,
+        padded=padded,
     )

@@ -212,6 +212,10 @@ def _scalar_hierarchy(gmg):
     planes (_Level3) with kron'd z*y left-transfer bands.
     Returns (lv, Bry, Brx, Bpy, Bpx, static_bytes) or None."""
     levels = getattr(gmg, "levels", None)
+    if getattr(gmg, "padded", False):
+        # identity-padded restriction shapes (even mid-hierarchy axes)
+        # break the pure-halving transfer-band layout assumed here
+        return None
     if not levels or len(levels[0].shape) not in (2, 3):
         return None
     is3d = len(levels[0].shape) == 3
@@ -514,6 +518,8 @@ def build_fused_block_inner_cg(
         return None
     levels = getattr(gmg, "levels", None)
     d = getattr(gmg, "d", 0)
+    if getattr(gmg, "padded", False):
+        return None  # identity-padded transfers unsupported (see scalar)
     if not levels or len(levels[0].shape) != 2 or d != 2:
         return None
 

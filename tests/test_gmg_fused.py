@@ -438,3 +438,32 @@ def test_fused_block_inner_cg_reduces_residual():
     )
     rel = np.linalg.norm(r3 - Az) / np.linalg.norm(r3)
     assert rel < 1e-3, rel
+
+
+def test_padded_hierarchy_converges_and_fused_skips():
+    """Lattices whose halving chain hits an EVEN axis size (76 at n=75;
+    301->151->76 at res-150 P2 — the silent no-GMG regression) must
+    still build a full hierarchy via identity padding, contract as a
+    preconditioner, and be skipped by the fused builders (whose
+    transfer-band layout assumes pure halving)."""
+    space, lat32, mask = _setup(n=75)
+    gmg = lat32.gmg
+    assert gmg is not None and gmg.padded
+    assert any(lv.pad_to is not None for lv in gmg.levels)
+    # preconditioned Richardson on the constrained operator contracts
+    from pdebench_tpu.solvers.gmg import _device_apply
+
+    M = gmg.precond()
+    rng = np.random.default_rng(3)
+    lv0 = gmg.levels[0]
+    r = jnp.asarray(
+        rng.standard_normal(lv0.shape), dtype=jnp.float32
+    )
+    x = jnp.zeros_like(r)
+    for _ in range(10):
+        x = x + M(r - _device_apply(lv0, x))
+    rel = float(
+        jnp.linalg.norm(r - _device_apply(lv0, x)) / jnp.linalg.norm(r)
+    )
+    assert rel < 1e-2, rel
+    assert build_fused_inner_cg(gmg, inner_iters=4, interpret=True) is None
