@@ -14,6 +14,8 @@ fi
 cd "$WT"
 export PDEBENCH_TPU_PLATFORM=cpu
 export PDEBENCH_TPU_COMPILE_CACHE=$REPO/.jax_compile_cache
+# constant_folding on XLA-CPU stalls big scatter-add folds 10-30x (CLAUDE.md)
+export XLA_FLAGS=--xla_disable_hlo_passes=constant_folding
 exec nice -n 10 python scripts/test_oracle_cases.py --version v1 \
   --resume-jsonl "$REPO/results/oracle_sweep_v1_progress.jsonl" \
   >> "$REPO/results/sweep_v1_r2.log" 2>&1
