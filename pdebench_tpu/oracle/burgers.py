@@ -147,7 +147,15 @@ class BurgersSolver:
 
         @jax.jit
         def run_scan(M, K, u0_arr, P_adv, W_c32):
-            def step(u_n, t_next):
+            # per-step load vectors and Dirichlet values hoisted OUT of
+            # the scan: one batched scatter each replaces num_steps
+            # in-scan scatters (TPU scatters serialize — the round-2
+            # measured per-step cost class)
+            B_all = jax.vmap(lambda t: ctx.load_vector(f_fn(qpts, t)))(ts)
+            G_all = jax.vmap(g_fn)(ts)
+
+            def step(u_n, xs):
+                t_next, b_ext, g = xs
                 # lagged convection coefficient at quadrature points:
                 # beta = u_n * (1, ..., 1)
                 un_q = jnp.einsum("qi,ci->cq", phi, u_n[dofmap])
@@ -158,10 +166,7 @@ class BurgersSolver:
                     if apply_M is not None
                     else _apply_local(M, dofmap, ndof, u_n)
                 )
-                b = inv_dt * Mu + ctx.load_vector(
-                    f_fn(qpts, t_next)
-                )
-                g = g_fn(t_next)
+                b = inv_dt * Mu + b_ext
                 if _MIXED:
                     # matrix changes per step (lagged convection): cast
                     # the fresh batch and run FGMRES-IR
@@ -195,7 +200,7 @@ class BurgersSolver:
                     )
                 return x, (it, res)
 
-            return jax.lax.scan(step, u0_arr, ts)
+            return jax.lax.scan(step, u0_arr, (ts, B_all, G_all))
 
         def run():
             K = local_stiffness(cb)

@@ -177,10 +177,15 @@ class ConvectionDiffusionSolver:
                     lambda v: _apply_local(M, dofmap, ndof, v)
                 )
 
-                def step(u_n, t_next):
-                    f_q = f_fn(qpts, t_next)
-                    b = M_ap(u_n) + dt * load(f_q)
-                    g = g_fn(t_next)
+                # per-step load vectors and Dirichlet values hoisted
+                # OUT of the scan: one batched scatter each replaces
+                # num_steps in-scan scatters (TPU scatters serialize)
+                B_all = jax.vmap(lambda t: load(f_fn(qpts, t)))(ts)
+                G_all = jax.vmap(g_fn)(ts)
+
+                def step(u_n, xs):
+                    _t_next, b_ext, g = xs
+                    b = M_ap(u_n) + dt * b_ext
                     if _MIXED:
                         x, it, res, conv = solve_constrained_ir(
                             A_sys, A32, dofmap, b, mask, g, ndof, rtol, atol,
@@ -200,7 +205,7 @@ class ConvectionDiffusionSolver:
                         )
                     return x, (it, res)
 
-                return jax.lax.scan(step, u0_arr, ts)
+                return jax.lax.scan(step, u0_arr, (ts, B_all, G_all))
 
             def run():
                 A_sys = local_mass(cb) + dt * assemble_A()

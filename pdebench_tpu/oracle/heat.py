@@ -99,16 +99,20 @@ class HeatSolver:
         @jax.jit
         def run_scan(A_sys, M, u0_arr):
             A32 = A_sys.astype(jnp.float32) if use_ir else None
+            # per-step load vectors and Dirichlet values hoisted OUT of
+            # the scan: one batched scatter each replaces num_steps
+            # in-scan scatters (TPU scatters serialize)
+            B_all = jax.vmap(lambda t: ctx.load_vector(f_fn(qpts, t)))(ts)
+            G_all = jax.vmap(g_fn)(ts)
 
-            def step(u_n, t_next):
-                f_q = f_fn(qpts, t_next)
+            def step(u_n, xs):
+                _t_next, b_ext, g = xs
                 Mu = (
                     apply_M(u_n)
                     if apply_M is not None
                     else _apply_local(M, dofmap, ndof, u_n)
                 )
-                b = Mu + dt * ctx.load_vector(f_q)
-                g = g_fn(t_next)
+                b = Mu + dt * b_ext
                 if use_ir:
                     # f32 inner iterations, f64 outer correction — the
                     # per-step system M + dt K is mass-dominated and
@@ -129,7 +133,7 @@ class HeatSolver:
                     )
                 return x, (it, res, conv)
 
-            return jax.lax.scan(step, u0_arr, ts)
+            return jax.lax.scan(step, u0_arr, (ts, B_all, G_all))
 
         def run():
             kq = kappa(qpts)

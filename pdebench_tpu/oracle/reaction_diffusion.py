@@ -221,9 +221,8 @@ class ReactionDiffusionSolver:
                 )
                 return jnp.where(mask, 0.0, G)
 
-            def step(u_n, t_next):
-                b_f = load(f_fn(qpts, t_next))
-                g = g_fn(t_next)
+            def step(u_n, xs):
+                _t_next, b_f, g = xs
                 u_init = jnp.where(mask, g, u_n)
 
                 if not nonlinear:
@@ -309,7 +308,12 @@ class ReactionDiffusionSolver:
                 rfinal = jnp.linalg.norm(residual(u, u_n, b_f))
                 return u, (lin_it, rfinal)
 
-            return jax.lax.scan(step, u0_arr, ts)
+            # per-step load vectors and Dirichlet values hoisted OUT of
+            # the scan: one batched scatter each replaces num_steps
+            # in-scan scatters (TPU scatters serialize)
+            B_all = jax.vmap(lambda t: load(f_fn(qpts, t)))(ts)
+            G_all = jax.vmap(g_fn)(ts)
+            return jax.lax.scan(step, u0_arr, (ts, B_all, G_all))
 
         def run():
             K = local_stiffness(cb)

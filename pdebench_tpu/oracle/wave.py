@@ -136,17 +136,21 @@ class WaveSolver:
             A32 = A_sys.astype(jnp.float32) if use_ir else None
             M_ap = apply_M or (lambda v: _apply_local(M, dofmap, ndof, v))
             K_ap = apply_K or (lambda v: _apply_local(K, dofmap, ndof, v))
+            # per-step load vectors and Dirichlet values hoisted OUT of
+            # the scan: one batched scatter each replaces num_steps
+            # in-scan scatters (TPU scatters serialize)
+            B_all = jax.vmap(lambda t: ctx.load_vector(f_fn(qpts, t)))(t_ns)
+            G_all = jax.vmap(lambda t: g_fn(t + dt))(t_ns)
 
-            def step(carry, t_n):
+            def step(carry, xs):
+                _t_n, b_ext, g = xs
                 u_n, u_nm1 = carry
-                f_q = f_fn(qpts, t_n)
                 b = (
                     inv_dt2 * M_ap(2.0 * u_n - u_nm1)
                     - (1.0 - 2.0 * THETA) * c2 * K_ap(u_n)
                     - THETA * c2 * K_ap(u_nm1)
-                    + ctx.load_vector(f_q)
+                    + b_ext
                 )
-                g = g_fn(t_n + dt)
                 if use_ir:
                     x, it, res, conv = solve_constrained_ir(
                         A_sys, A32, dofmap, b, mask, g, ndof, rtol, atol,
@@ -169,7 +173,9 @@ class WaveSolver:
                     )
                 return (x, u_n), (it, res, conv)
 
-            (u, _), aux = jax.lax.scan(step, (u0_arr, um1_arr), t_ns)
+            (u, _), aux = jax.lax.scan(
+                step, (u0_arr, um1_arr), (t_ns, B_all, G_all)
+            )
             return u, aux
 
         def run():

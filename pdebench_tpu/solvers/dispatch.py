@@ -321,6 +321,25 @@ def solve_constrained_ir(
                         inner == "gmres"
                         and inner_custom is None
                         and gmg_kind == "LatticeGMG"
+                        and step_weights is not None
+                        and os.environ.get("PDEBENCH_TPU_STEP_RICH", "0")
+                        == "1"
+                    ):
+                        # OPT-IN (A/B): per-step systems precondition
+                        # with the CONSTANT part's hierarchy, whose
+                        # level-0 is SPD and mass-dominated (inv_dt M +
+                        # diffusion) — the undamped 2-V-cycle Richardson
+                        # chain is contractive there even though the
+                        # step operator itself is nonsymmetric, and one
+                        # fused kernel replaces the launch-bound XLA
+                        # V-cycle inside every Arnoldi iteration.
+                        fr = build_fused_richardson(gmg, 2)
+                        if fr is not None:
+                            M32 = fr
+                    if (
+                        inner == "gmres"
+                        and inner_custom is None
+                        and gmg_kind == "LatticeGMG"
                         and getattr(gmg, "surrogate", False)
                     ):
                         # XLA Arnoldi, fused 2-V-cycle Richardson
