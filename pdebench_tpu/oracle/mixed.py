@@ -231,7 +231,28 @@ def saddle_amg_precond(
     return M
 
 
-def saddle_gmg_precond(
+@dataclass
+class SaddlePrecondParts:
+    """Reusable pieces of the stencil-GMG saddle preconditioner.
+
+    `Mv` applies the per-component velocity V-cycle to the blocked flat
+    velocity vector; `inv_p` is the lumped pressure-mass Schur diagonal
+    (nu / diag(M_p)); `mask_full` marks constrained mixed entries. The
+    block-DIAGONAL combination (saddle_gmg_precond) stays SPD for
+    MINRES; a block lower-TRIANGULAR combination (velocity solve, then
+    Schur update zp = -inv_p (r_p - G^T zu)) is assembled by the
+    Navier-Stokes FGMRES path, where symmetry is not required and the
+    triangular form clusters the preconditioned spectrum near 1.
+    """
+
+    Mv: Callable
+    inv_p: jnp.ndarray
+    mask_full: jnp.ndarray
+    nu_dofs: int
+    ncomp: int
+
+
+def saddle_gmg_precond_parts(
     V: FunctionSpace,
     nu_visc: float,
     cb: CellBatch,
@@ -239,7 +260,7 @@ def saddle_gmg_precond(
     dofmap_p: jnp.ndarray,
     np_dofs: int,
     mask: jnp.ndarray,
-) -> Optional[Callable]:
+) -> Optional[SaddlePrecondParts]:
     """Stencil-GMG block preconditioner for structured-mesh Stokes.
 
     The velocity block is nu x blockdiag(scalar stiffness), so one
@@ -307,8 +328,8 @@ def saddle_gmg_precond(
     )
     mask_full = jnp.asarray(mask_np)
 
-    def M(r):
-        ru = r[:nu_dofs].reshape(-1, d)
+    def Mv(ru_flat):
+        ru = ru_flat.reshape(-1, d)
         comps = []
         for c in range(d):
             rc32 = emb.embed(ru[:, c].astype(jnp.float32), 0.0)
@@ -316,11 +337,37 @@ def saddle_gmg_precond(
                 zc = fused(rc32)[inv]
             else:
                 zc = vcyc(rc32.reshape(shape)).reshape(-1)[inv]
-            comps.append(zc.astype(r.dtype))
-        zu = jnp.stack(comps, axis=1).reshape(-1)
-        out = jnp.concatenate([zu, inv_p * r[nu_dofs:]])
+            comps.append(zc.astype(ru_flat.dtype))
+        return jnp.stack(comps, axis=1).reshape(-1)
+
+    return SaddlePrecondParts(Mv, inv_p, mask_full, nu_dofs, d)
+
+
+def saddle_gmg_precond(
+    V: FunctionSpace,
+    nu_visc: float,
+    cb: CellBatch,
+    psi: jnp.ndarray,
+    dofmap_p: jnp.ndarray,
+    np_dofs: int,
+    mask: jnp.ndarray,
+) -> Optional[Callable]:
+    """Block-DIAGONAL stencil-GMG saddle preconditioner (SPD, for
+    MINRES). See saddle_gmg_precond_parts."""
+    parts = saddle_gmg_precond_parts(
+        V, nu_visc, cb, psi, dofmap_p, np_dofs, mask
+    )
+    if parts is None:
+        return None
+    nu_dofs = parts.nu_dofs
+
+    def M(r):
+        zu = parts.Mv(r[:nu_dofs])
+        out = jnp.concatenate(
+            [zu, parts.inv_p.astype(r.dtype) * r[nu_dofs:]]
+        )
         # keep the preconditioner SPD w.r.t. constrained entries
-        return jnp.where(mask_full, r, out)
+        return jnp.where(parts.mask_full, r, out)
 
     return M
 

@@ -109,66 +109,111 @@ class NavierStokesSolver:
         b = jnp.concatenate([b_u, jnp.zeros(Q.ndof)])
         mask_j, g_j = ctx.mask, ctx.g
 
-        # Default device Stokes INIT on structured lattices: the init
-        # operator [[nu A, G], [G^T, 0]] is the symmetric Stokes saddle,
-        # so the stokes-oracle MINRES-IR + stencil-GMG route applies
-        # verbatim (stokes.py:139-166). The init only needs warm-start
-        # accuracy for Newton (rtol 1e-6 — the Stokes/NS model gap is
-        # O(Re), far above the algebraic error), which halves the host
-        # SuperLU count: the remaining Newton step keeps the exact
-        # host-LU solve + Shamanskii back-subs. Host LU stays the
-        # fallback when MINRES does not converge or the mesh is
-        # unstructured. (Round-2 measured the 2-LU NS at ~2.4 s with
-        # each ConstrainedLU ~1 s on this 1-core host.)
-        stokes_init_minres = None
-        WA1_np = None
-        M_init = None
-        # TPU/axon only by default: on the 1-core CPU host SuperLU beats
-        # the f32 MINRES and the jitted MINRES pays the known XLA-CPU
-        # constant-folding compile stall; results match to 9 digits
-        # either way (round-2 A/B: NS 4.5 -> 3.5 s on TPU).
+        # Device iterative machinery on structured lattices (TPU/axon
+        # default; each piece falls back gracefully off-lattice):
+        #   parts — the stencil-GMG saddle preconditioner pieces
+        #           (per-component velocity V-cycle + pressure Schur
+        #           diagonal, mixed.saddle_gmg_precond_parts)
+        #   sst   — the gather-free Taylor-Hood saddle stencil
+        # From these the solve builds (a) the block-diagonal SPD M for
+        # the MINRES Stokes-init fallback, and (b) a block lower-
+        # TRIANGULAR M for the Newton FGMRES-IR path (zp includes the
+        # -inv_p (r_p - G^T zu) Schur update; GMRES does not need
+        # symmetry and the triangular form clusters the preconditioned
+        # spectrum near 1). Host SuperLU remains the fallback whenever
+        # the device solves are unavailable or unconverged.
+        # CPU default stays host-LU: the 1-core host SuperLU beats the
+        # f32 Krylov there and the jitted programs pay the XLA-CPU
+        # constant-folding compile stall (round-2 A/B).
         _init_env = os.environ.get("PDEBENCH_TPU_NS_DEVICE_INIT", "")
+        _dev_env = os.environ.get("PDEBENCH_TPU_NS_DEVICE_NEWTON", "")
         _on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-        if _init_env != "0" and (_on_tpu or _init_env == "1"):
+        use_dev_init = _init_env != "0" and (_on_tpu or _init_env == "1")
+        use_dev_newton = _dev_env != "0" and (_on_tpu or _dev_env == "1")
+
+        parts = None
+        sst = None
+        if use_dev_init or use_dev_newton:
             try:
-                M_init = mixed.saddle_gmg_precond(
+                parts = mixed.saddle_gmg_precond_parts(
                     V, nu, cb, ctx.psi, dofmap_p, Q.ndof, ctx.mask
                 )
             except Exception:
-                M_init = None
-        if M_init is not None:
-            sst_init = None
+                parts = None
             try:
                 from ..solvers.saddle_stencil import build_saddle_stencil
 
-                sst_init = build_saddle_stencil(V, Q, np.asarray(G_loc))
+                sst = build_saddle_stencil(V, Q, np.asarray(G_loc))
             except Exception:
-                sst_init = None
-            if sst_init is not None:
-                from ..fem.assemble import (
-                    constrained_operator as _con_op,
-                    constrained_rhs as _con_rhs,
+                sst = None
+
+        M_init = None
+        M32_newton = None
+        if parts is not None:
+            inv_p64 = parts.inv_p
+            inv_p32 = parts.inv_p.astype(jnp.float32)
+            mask_full = parts.mask_full
+
+            def M_init(r):  # block-diagonal, SPD — for MINRES
+                zu = parts.Mv(r[: V.ndof])
+                out = jnp.concatenate(
+                    [zu, inv_p64.astype(r.dtype) * r[V.ndof :]]
                 )
+                return jnp.where(mask_full, r, out)
 
-                # host-side weights for the UNIT-viscosity A-block; each
-                # nu rung is a numpy scale (weights as jit ARGUMENTS —
-                # closure constants trigger XLA constant-folding stalls)
-                WA1_np = sst_init.wmapA.weights_np(np.asarray(A1_loc))
+            _tri_env = os.environ.get("PDEBENCH_TPU_NS_TRI_M", "1")
+            if sst is not None and _tri_env == "1":
 
-                @jax.jit
-                def stokes_init_minres(WA64):
-                    apply64 = sst_init.saddle_apply_w(WA64)
-                    apply32 = sst_init.saddle_apply_w(
-                        WA64.astype(jnp.float32)
+                def M32_newton(r32):  # block lower-triangular — FGMRES
+                    ru, rp = r32[: V.ndof], r32[V.ndof :]
+                    zu = parts.Mv(ru)
+                    u_lat = sst.blat.embed(zu, 0.0).reshape(
+                        sst.fine + (sst.d,)
                     )
-                    A = _con_op(apply64, mask_j)
-                    A32 = _con_op(apply32, mask_j)
-                    rhs = _con_rhs(apply64, b, mask_j, g_j)
-                    x0 = jnp.where(mask_j, g_j, 0.0)
-                    return minres(
-                        A, rhs, x0=x0, M=M_init, rtol=1e-6, atol=1e-12,
-                        maxiter=2000, A32=A32,
-                    )
+                    gt = sst.applyGT(sst.WGT32, u_lat).reshape(-1)[
+                        sst._pinv
+                    ]
+                    zp = -inv_p32 * (rp - gt)
+                    out = jnp.concatenate([zu, zp])
+                    return jnp.where(mask_full, r32, out)
+
+            else:
+
+                def M32_newton(r32):  # block-diagonal (no G^T stencil)
+                    zu = parts.Mv(r32[: V.ndof])
+                    out = jnp.concatenate([zu, inv_p32 * r32[V.ndof :]])
+                    return jnp.where(mask_full, r32, out)
+
+        # MINRES-IR Stokes init (round-2 path): kept as the fallback
+        # init when the Newton FGMRES path is off or fails — the init
+        # operator [[nu A, G], [G^T, 0]] is the symmetric Stokes saddle
+        # (stokes.py:139-166) and warm-start accuracy (rtol 1e-6) is all
+        # Newton needs.
+        stokes_init_minres = None
+        WA1_np = None
+        if use_dev_init and M_init is not None and sst is not None:
+            from ..fem.assemble import (
+                constrained_operator as _con_op,
+                constrained_rhs as _con_rhs,
+            )
+
+            # host-side weights for the UNIT-viscosity A-block; each
+            # nu rung is a numpy scale (weights as jit ARGUMENTS —
+            # closure constants trigger XLA constant-folding stalls)
+            WA1_np = sst.wmapA.weights_np(np.asarray(A1_loc))
+
+            @jax.jit
+            def stokes_init_minres(WA64):
+                apply64 = sst.saddle_apply_w(WA64)
+                apply32 = sst.saddle_apply_w(WA64.astype(jnp.float32))
+                A = _con_op(apply64, mask_j)
+                A32 = _con_op(apply32, mask_j)
+                rhs = _con_rhs(apply64, b, mask_j, g_j)
+                x0 = jnp.where(mask_j, g_j, 0.0)
+                return minres(
+                    A, rhs, x0=x0, M=M_init, rtol=1e-6, atol=1e-12,
+                    maxiter=2000, A32=A32,
+                )
 
         def velocity_fields(x):
             """(u_q, gradu_q) at quadrature points from the mixed vector."""
@@ -213,171 +258,193 @@ class NavierStokesSolver:
         nu_cur = [nu]  # mutable closure cell for the continuation rung
         _phase_t = {"lin": 0.0, "init": 0.0}  # phase wall-clock (diagnostics)
 
-        # device path for the Newton linear systems: FGMRES-IR on the
-        # saddle Jacobian with the (fixed) Stokes block preconditioner —
-        # f32 inner Arnoldi at native v5e speed; falls back to host LU
-        # when unavailable or unconverged
+        # Device path for the Newton linear systems: FGMRES-IR on the
+        # saddle Jacobian with the block lower-triangular Stokes
+        # preconditioner, f32 inner Arnoldi at native v5e speed.
+        # Round-2 history: with a FIXED rtol 1e-8 per linear solve and
+        # the block-DIAGONAL M, the whole-Newton device path measured
+        # 6.1 s vs 2.4 s for 2 host SuperLU solves (idle box) and was
+        # demoted to opt-in. Round 3 changes the solves themselves
+        # rather than fusing kernels: (a) Eisenstat-Walker forcing —
+        # each Newton step solves only as deep as the nonlinear
+        # residual warrants (eta_0 = 0.1, eta_k ~ 0.9 (rn_k/rn_{k-1})^2,
+        # oversolve-guarded by the outer tolerance), (b) the triangular
+        # M above, (c) Newton starts from the BC-lifted ZERO state, so
+        # its first step — Jacobian at u=0 IS the Stokes operator —
+        # replaces the separate rtol 1e-6 MINRES init (356 Krylov its
+        # on navier_stokes_basic) with one eta=0.1 solve; the outer
+        # tolerance is re-anchored at the post-first-step residual to
+        # keep the reference's 'stokes'-init SNES semantics (reference:
+        # pdebench/oracle/navier_stokes.py:220-246,321-353).
         device_lin = None
         newton_device = None
-        # Round-2 measurements (TPU v5e, navier_stokes_basic, 37.5k
-        # dofs, warm best-of-3):
-        #   host SuperLU Newton (2 LUs)      ~2.4 s (idle box)
-        #   cell-based device FGMRES-IR      4.7 s
-        #   saddle-stencil whole-Newton jit  6.1 s  (~460 Krylov its/
-        #     solve; inner=48 probe: same wall, 2x the iterations —
-        #     the per-step preconditioner application, 2 fused
-        #     Richardson V-cycle kernels per component, is the cost,
-        #     not the f64 outer rounds)
-        # The iterative device path loses to 2 host LUs at dataset
-        # sizes, so it stays OPT-IN (PDEBENCH_TPU_NS_DEVICE_NEWTON=1;
-        # =1 also forces the cell-based apply on non-lattice meshes).
-        # The identified fix is a fully-fused saddle-FGMRES Pallas
-        # kernel (whole Arnoldi cycle + nested-lattice G/G^T VMEM-
-        # resident, like solvers/gmg_fused.py for scalar lattices) —
-        # without it every Arnoldi step pays multiple kernel
-        # dispatches.
-        _dev_env = os.environ.get("PDEBENCH_TPU_NS_DEVICE_NEWTON", "")
-        sst = None
-        try:
-            if _dev_env == "1":
-                from ..solvers.saddle_stencil import build_saddle_stencil
+        # sst (and with it the TRIANGULAR M) is required: the measured
+        # block-diagonal-M FGMRES stalls on the convected Jacobian
+        # (CPU+TPU A/B, res 48), and the cell-based saddle apply is
+        # ~20x off the stencil — without the lattice the host LU wins.
+        if use_dev_newton and parts is not None and sst is not None:
+            from ..fem.assemble import (
+                constrained_operator as _con_op,
+            )
+            from ..solvers.krylov import refined_solve
 
-                sst = build_saddle_stencil(V, Q, np.asarray(G_loc))
-        except Exception:
-            sst = None
-        if _dev_env == "1":
-            M_block = M_init
-            if M_block is None:
-                try:
-                    M_block = mixed.saddle_gmg_precond(
-                        V, nu, cb, ctx.psi, dofmap_p, Q.ndof, ctx.mask
+            G32 = G_loc.astype(jnp.float32)
+            mask_j = ctx.mask
+
+            # restart length matters on the convected saddle: GMRES(20)
+            # loses the subspace at every restart; 40 keeps the f32
+            # Arnoldi block at ~6 MB for dataset sizes
+            _ns_inner = int(
+                os.environ.get("PDEBENCH_TPU_NS_INNER_ITERS", "40")
+            )
+
+            def _lin_solve(Ju, rhs, eta):
+                """Traceable saddle solve (FGMRES-IR, f32 inner) to a
+                (possibly traced) relative tolerance eta."""
+                if sst is not None:
+                    WA64 = sst.wmapA.weights(Ju)
+                    apply64 = sst.saddle_apply_w(WA64)
+                    apply32 = sst.saddle_apply_w(
+                        WA64.astype(jnp.float32)
                     )
-                except Exception:
-                    M_block = None
-            if M_block is not None:
-                from ..fem.assemble import (
-                    constrained_operator as _con_op,
+                else:
+                    apply64 = mixed.saddle_apply(
+                        Ju, G_loc, dofmap_u, dofmap_p, V.ndof, Q.ndof
+                    )
+                    apply32 = mixed.saddle_apply(
+                        Ju.astype(jnp.float32), G32,
+                        dofmap_u, dofmap_p, V.ndof, Q.ndof,
+                    )
+                A64 = _con_op(apply64, mask_j)
+                A32 = _con_op(apply32, mask_j)
+                d, info = refined_solve(
+                    A64, A32, rhs, M32=M32_newton,
+                    rtol=eta, atol=1e-12,
+                    inner_iters=_ns_inner, max_outer=20, inner="gmres",
                 )
-                from ..solvers.krylov import refined_solve
+                return d, info.converged, info.iterations
 
-                G32 = G_loc.astype(jnp.float32)
-                mask_j = ctx.mask
+            device_lin = jax.jit(_lin_solve)
 
-                _ns_inner = int(
-                    os.environ.get("PDEBENCH_TPU_NS_INNER_ITERS", "20")
+            # Whole-Newton single jit: jacobian, FGMRES-IR solve,
+            # backtracking line search, and convergence control all
+            # run as ONE device program (lax.while_loop) — on the
+            # remote-TPU platform the host-driven loop pays a
+            # network round trip per eager op, so fusing the whole
+            # Newton solve is the difference between O(1) and
+            # O(iterations x ops) transfers per case. Reference
+            # semantics preserved: SNES newtonls with 'bt' line
+            # search (pdebench/oracle/navier_stokes.py:321-353).
+            @jax.jit
+            def newton_device(x0, nu_v, rtol, atol, max_it, update_tol):
+                x = jnp.where(mask_j, g_j, x0)
+                r = residual_nu(x, nu_v)
+                rn0 = jnp.linalg.norm(r)
+                tol0 = jnp.maximum(rtol * rn0, atol)
+
+                def cond(st):
+                    _x, _r, rn, _rp, _ep, tol, it, _nl, _ki, lin_ok = st
+                    return (
+                        (it < max_it)
+                        & (rn > tol)
+                        & (rn <= 1e4 * rn0)
+                        & jnp.isfinite(rn)
+                        & lin_ok
+                    )
+
+                def body(st):
+                    (
+                        x, r, rn, rn_prev, eta_prev, tol,
+                        it, nlin, kry_its, lin_ok,
+                    ) = st
+                    # Eisenstat-Walker (choice 2) forcing with the
+                    # standard safeguard; never solve deeper than the
+                    # outer tolerance requires. The 1e-4 FLOOR is
+                    # load-bearing: restarted f32 GMRES on the convected
+                    # Jacobian cannot reliably deliver more than a few
+                    # digits per solve at dataset sizes, and inexact
+                    # Newton at eta=1e-4 still contracts ~1e-4 per step
+                    # — more (cheap) Newton steps beat one stalled deep
+                    # solve. (Measured: without the floor, the step-2
+                    # eta collapses to ~1e-7 because step 1 starts from
+                    # zero, and the solve stalls -> host-LU fallback.)
+                    eta = 0.9 * (rn / rn_prev) ** 2
+                    eta_safe = 0.9 * eta_prev * eta_prev
+                    eta = jnp.where(
+                        eta_safe > 0.1, jnp.maximum(eta, eta_safe), eta
+                    )
+                    eta = jnp.clip(eta, 1e-4, 0.1)
+                    eta = jnp.maximum(
+                        eta, jnp.minimum(0.1, 0.5 * tol / rn)
+                    )
+                    Ju = jacobian_u_block_nu(x, nu_v)
+                    delta, conv, its = _lin_solve(Ju, -r, eta)
+                    # backtracking 'bt': try t = 1, 1/2, ... 1/512;
+                    # one final untested halving if all fail (same
+                    # schedule as the host loop)
+                    t1 = jnp.asarray(1.0, x.dtype)
+                    rnn1 = jnp.linalg.norm(
+                        residual_nu(x + t1 * delta, nu_v)
+                    )
+
+                    def ls_cond(c):
+                        t, rnn, k = c
+                        return (k < 9) & (
+                            rnn > (1.0 - 1e-4 * t) * rn
+                        )
+
+                    def ls_body(c):
+                        t, rnn, k = c
+                        t2 = t * 0.5
+                        rnn2 = jnp.linalg.norm(
+                            residual_nu(x + t2 * delta, nu_v)
+                        )
+                        return t2, rnn2, k + 1
+
+                    t, rnn, _ = jax.lax.while_loop(
+                        ls_cond, ls_body, (t1, rnn1, 0)
+                    )
+                    t = jnp.where(
+                        rnn > (1.0 - 1e-4 * t) * rn, t * 0.5, t
+                    )
+                    x_new = x + t * delta
+                    r_new = residual_nu(x_new, nu_v)
+                    rn_new = jnp.linalg.norm(r_new)
+                    # from-zero start: after the first step (x1 ~ the
+                    # Stokes solution) re-anchor the tolerance at
+                    # ||F(x1)||, reproducing the reference's
+                    # Stokes-init SNES rtol semantics
+                    tol_new = jnp.where(
+                        update_tol & (it == 0),
+                        jnp.minimum(
+                            tol, jnp.maximum(rtol * rn_new, atol)
+                        ),
+                        tol,
+                    )
+                    return (
+                        x_new, r_new, rn_new, rn, eta, tol_new,
+                        it + 1, nlin + 1, kry_its + its,
+                        lin_ok & conv,
+                    )
+
+                x, _r, rn, _rp, _ep, tol, _it, nlin, kry_its, lin_ok = (
+                    jax.lax.while_loop(
+                        cond, body,
+                        (x, r, rn0, rn0, jnp.asarray(0.1, x.dtype),
+                         tol0, jnp.asarray(0), jnp.asarray(0),
+                         jnp.asarray(0), jnp.asarray(True)),
+                    )
                 )
+                return x, rn, nlin, kry_its, lin_ok, rn <= tol
 
-                def _lin_solve(Ju, rhs):
-                    """Traceable saddle solve (FGMRES-IR, f32 inner)."""
-                    if sst is not None:
-                        WA64 = sst.wmapA.weights(Ju)
-                        apply64 = sst.saddle_apply_w(WA64)
-                        apply32 = sst.saddle_apply_w(
-                            WA64.astype(jnp.float32)
-                        )
-                    else:
-                        apply64 = mixed.saddle_apply(
-                            Ju, G_loc, dofmap_u, dofmap_p, V.ndof, Q.ndof
-                        )
-                        apply32 = mixed.saddle_apply(
-                            Ju.astype(jnp.float32), G32,
-                            dofmap_u, dofmap_p, V.ndof, Q.ndof,
-                        )
-                    A64 = _con_op(apply64, mask_j)
-                    A32 = _con_op(apply32, mask_j)
-                    M32 = lambda r: M_block(r).astype(jnp.float32)
-                    d, info = refined_solve(
-                        A64, A32, rhs, M32=M32,
-                        rtol=1e-8, atol=1e-12,
-                        inner_iters=_ns_inner, max_outer=20, inner="gmres",
-                    )
-                    return d, info.converged, info.iterations
-
-                device_lin = jax.jit(_lin_solve)
-
-                # Whole-Newton single jit: jacobian, FGMRES-IR solve,
-                # backtracking line search, and convergence control all
-                # run as ONE device program (lax.while_loop) — on the
-                # remote-TPU platform the host-driven loop pays a
-                # network round trip per eager op, so fusing the whole
-                # Newton solve is the difference between O(1) and
-                # O(iterations x ops) transfers per case. Reference
-                # semantics preserved: SNES newtonls with 'bt' line
-                # search (pdebench/oracle/navier_stokes.py:321-353).
-                @jax.jit
-                def newton_device(x0, nu_v, rtol, atol, max_it):
-                    x = jnp.where(mask_j, g_j, x0)
-                    r = residual_nu(x, nu_v)
-                    rn0 = jnp.linalg.norm(r)
-                    tol = jnp.maximum(rtol * rn0, atol)
-
-                    def cond(st):
-                        _x, _r, rn, it, _nl, _ki, lin_ok = st
-                        return (
-                            (it < max_it)
-                            & (rn > tol)
-                            & (rn <= 1e4 * rn0)
-                            & jnp.isfinite(rn)
-                            & lin_ok
-                        )
-
-                    def body(st):
-                        x, r, rn, it, nlin, kry_its, lin_ok = st
-                        Ju = jacobian_u_block_nu(x, nu_v)
-                        delta, conv, its = _lin_solve(Ju, -r)
-                        # backtracking 'bt': try t = 1, 1/2, ... 1/512;
-                        # one final untested halving if all fail (same
-                        # schedule as the host loop)
-                        t1 = jnp.asarray(1.0, x.dtype)
-                        rnn1 = jnp.linalg.norm(
-                            residual_nu(x + t1 * delta, nu_v)
-                        )
-
-                        def ls_cond(c):
-                            t, rnn, k = c
-                            return (k < 9) & (
-                                rnn > (1.0 - 1e-4 * t) * rn
-                            )
-
-                        def ls_body(c):
-                            t, rnn, k = c
-                            t2 = t * 0.5
-                            rnn2 = jnp.linalg.norm(
-                                residual_nu(x + t2 * delta, nu_v)
-                            )
-                            return t2, rnn2, k + 1
-
-                        t, rnn, _ = jax.lax.while_loop(
-                            ls_cond, ls_body, (t1, rnn1, 0)
-                        )
-                        t = jnp.where(
-                            rnn > (1.0 - 1e-4 * t) * rn, t * 0.5, t
-                        )
-                        x_new = x + t * delta
-                        r_new = residual_nu(x_new, nu_v)
-                        rn_new = jnp.linalg.norm(r_new)
-                        return (
-                            x_new, r_new, rn_new,
-                            it + 1, nlin + 1, kry_its + its,
-                            lin_ok & conv,
-                        )
-
-                    x, _r, rn, _it, nlin, kry_its, lin_ok = (
-                        jax.lax.while_loop(
-                            cond, body,
-                            (x, r, rn0, jnp.asarray(0), jnp.asarray(0),
-                             jnp.asarray(0), jnp.asarray(True)),
-                        )
-                    )
-                    return x, rn, nlin, kry_its, lin_ok, rn <= tol
-
-        def newton(x0, rtol, atol, max_it):
+        def newton(x0, rtol, atol, max_it, update_tol=False):
             import time as _time
 
             if newton_device is not None:
                 t_l0 = _time.perf_counter()
                 x_d, rn_d, nlin_d, kry_d, lin_ok, conv = newton_device(
-                    jnp.asarray(x0), nu_cur[0], rtol, atol, max_it
+                    jnp.asarray(x0), nu_cur[0], rtol, atol, max_it,
+                    update_tol,
                 )
                 _phase_t["lin"] += _time.perf_counter() - t_l0
                 _phase_t["kry_its"] = _phase_t.get("kry_its", 0) + int(
@@ -411,7 +478,7 @@ class NavierStokesSolver:
                 t_l0 = _time.perf_counter()
                 if device_lin is not None:
                     d_dev, conv, its_dev = device_lin(
-                        Ju, jnp.asarray(-r)
+                        Ju, jnp.asarray(-r), 1e-8
                     )
                     _phase_t["kry_its"] = _phase_t.get(
                         "kry_its", 0
@@ -473,6 +540,25 @@ class NavierStokesSolver:
                 _phase_t["init"] += _time.perf_counter() - _t0
 
         def _stokes_init_impl(nu_init):
+            if device_lin is not None:
+                # same constrained saddle solve, on device: rhs carries
+                # the BC lift (constrained_rhs semantics), so the result
+                # is the Stokes SOLUTION, not an increment. Warm-start
+                # accuracy only (rtol 1e-3): the Stokes/NS model gap is
+                # O(Re), far above the algebraic error.
+                from ..fem.assemble import constrained_rhs as _con_rhs
+
+                Ju0 = nu_init * A1_loc
+                apply64 = mixed.saddle_apply(
+                    Ju0, G_loc, dofmap_u, dofmap_p, V.ndof, Q.ndof
+                )
+                rhs = _con_rhs(apply64, b, mask_j, g_j)
+                x_dev, conv, its0 = device_lin(Ju0, rhs, 1e-3)
+                _phase_t["kry_its"] = _phase_t.get("kry_its", 0) + int(
+                    its0
+                )
+                if bool(conv):
+                    return np.asarray(x_dev)
             if stokes_init_minres is not None:
                 x_dev, kinfo = stokes_init_minres(
                     jnp.asarray(nu_init * WA1_np)
@@ -481,23 +567,6 @@ class NavierStokesSolver:
                     kinfo.iterations
                 )
                 if bool(kinfo.converged):
-                    return np.asarray(x_dev)
-            if device_lin is not None:
-                # same constrained saddle solve, on device: rhs carries
-                # the BC lift (constrained_rhs semantics), so the result
-                # is the Stokes SOLUTION, not an increment
-                from ..fem.assemble import constrained_rhs as _con_rhs
-
-                Ju0 = nu_init * A1_loc
-                apply64 = mixed.saddle_apply(
-                    Ju0, G_loc, dofmap_u, dofmap_p, V.ndof, Q.ndof
-                )
-                rhs = _con_rhs(apply64, b, mask_j, g_j)
-                x_dev, conv, its0 = device_lin(Ju0, rhs)
-                _phase_t["kry_its"] = _phase_t.get("kry_its", 0) + int(
-                    its0
-                )
-                if bool(conv):
                     return np.asarray(x_dev)
             K = mixed.saddle_to_scipy(
                 np.asarray(nu_init * A1_loc),
@@ -513,6 +582,7 @@ class NavierStokesSolver:
 
         def run():
             lin_solves = 0
+            from_zero = False
             if init_mode == "zero":
                 x = np.where(mask_np, g_np, 0.0)
             elif init_mode == "exact":
@@ -521,15 +591,24 @@ class NavierStokesSolver:
                 u_init = base.interpolate_nodal(V, list(mms_u))
                 x = np.concatenate([u_init, np.zeros(Q.ndof)])
             elif init_mode == "continuation":
-                # try full-strength Newton from a Stokes start first —
-                # moderate-Re cases converge directly, skipping the
-                # whole ladder; the divergence guard in newton() bounds
-                # the cost of a failed attempt
-                x = stokes_init(nu)
-                lin_solves += 1
+                # try full-strength Newton first — moderate-Re cases
+                # converge directly, skipping the whole ladder; the
+                # divergence guard in newton() bounds the cost of a
+                # failed attempt. With the device Newton, start from
+                # BC-lifted zero (its first step IS the Stokes init);
+                # otherwise from the classic Stokes init.
+                if newton_device is not None:
+                    x = np.where(mask_np, g_np, 0.0)
+                    max_try = min(9, snes_max_it + 1)
+                    from_zero = True
+                else:
+                    x = stokes_init(nu)
+                    lin_solves += 1
+                    max_try = min(8, snes_max_it)
                 nu_cur[0] = nu
                 x_try, rn, nlin, conv = newton(
-                    x, snes_rtol, snes_atol, min(8, snes_max_it)
+                    x, snes_rtol, snes_atol, max_try,
+                    update_tol=from_zero,
                 )
                 lin_solves += nlin
                 if conv:
@@ -547,6 +626,7 @@ class NavierStokesSolver:
                 # fall back to the geometric nu-ladder; intermediate
                 # rungs only need warm-start accuracy (the final Newton
                 # below still converges to snes_rtol)
+                from_zero = False
                 nu_start = float(opts.get("continuation_nu_start", 1.0))
                 n_steps = int(opts.get("continuation_steps", 8))
                 x = stokes_init(nu_start)
@@ -558,11 +638,19 @@ class NavierStokesSolver:
                     )
                     lin_solves += nlin
             else:  # 'stokes' default
-                x = stokes_init(nu)
-                lin_solves += 1
+                if newton_device is not None:
+                    x = np.where(mask_np, g_np, 0.0)
+                    from_zero = True
+                else:
+                    x = stokes_init(nu)
+                    lin_solves += 1
 
             nu_cur[0] = nu
-            x, rn, nlin, _ = newton(x, snes_rtol, snes_atol, snes_max_it)
+            x, rn, nlin, _ = newton(
+                x, snes_rtol, snes_atol,
+                snes_max_it + (1 if from_zero else 0),
+                update_tol=from_zero,
+            )
             lin_solves += nlin
             grid = ctx.sample_velocity_magnitude(x)
             return grid, {
