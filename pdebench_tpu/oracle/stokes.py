@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, List
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import sympy as sp
@@ -90,14 +92,25 @@ class StokesSolver:
         # non-convergence; unstructured direct cases go straight to LU.
         jitted_minres = None
         M = None
+        parts = None
         try:
             # structured meshes: gather-free stencil-GMG on the
             # velocity block (one scalar hierarchy per component)
-            M = mixed.saddle_gmg_precond(
+            parts = mixed.saddle_gmg_precond_parts(
                 V, nu, cb, ctx.psi, dofmap_p, Q.ndof, ctx.mask
             )
         except Exception:
-            M = None
+            parts = None
+        if parts is not None:
+            _inv_p = parts.inv_p
+            _mask_full = parts.mask_full
+
+            def M(r):  # block-diagonal, SPD — for MINRES
+                zu = parts.Mv(r[: V.ndof])
+                out = jnp.concatenate(
+                    [zu, _inv_p.astype(r.dtype) * r[V.ndof :]]
+                )
+                return jnp.where(_mask_full, r, out)
         if M is None and not use_direct:
             A_pre = local_vector_laplacian(cb, nu)
             precond = (
@@ -164,6 +177,52 @@ class StokesSolver:
                     A, rhs, x0=x0, M=M, rtol=rtol, atol=atol,
                     maxiter=5000, A32=A32,
                 )
+
+            # OPT-IN A/B (PDEBENCH_TPU_STOKES_FGMRES=1): FGMRES-IR with
+            # the block lower-TRIANGULAR Schur preconditioner (the NS
+            # Newton route, navier_stokes.py) instead of MINRES + the
+            # block-diagonal M. GMRES does not need symmetry, and the
+            # triangular form clusters the preconditioned spectrum.
+            if (
+                sst is not None
+                and parts is not None
+                and os.environ.get("PDEBENCH_TPU_STOKES_FGMRES", "0")
+                == "1"
+            ):
+                from ..fem.assemble import (
+                    constrained_operator as _con_op,
+                    constrained_rhs as _con_rhs,
+                )
+                from ..solvers.krylov import refined_solve
+
+                _inv_p32 = parts.inv_p.astype(jnp.float32)
+
+                def _M32_tri(r32):
+                    ru, rp = r32[: V.ndof], r32[V.ndof :]
+                    zu = parts.Mv(ru)
+                    u_lat = sst.blat.embed(zu, 0.0).reshape(
+                        sst.fine + (sst.d,)
+                    )
+                    gt = sst.applyGT(sst.WGT32, u_lat).reshape(-1)[
+                        sst._pinv
+                    ]
+                    zp = -_inv_p32 * (rp - gt)
+                    out = jnp.concatenate([zu, zp])
+                    return jnp.where(_mask_full, r32, out)
+
+                @_jax.jit
+                def jitted_minres(A_loc, G_loc, b, mask, g):
+                    apply_raw = sst.saddle_apply_w(WA64)
+                    apply32 = sst.saddle_apply_w(WA32)
+                    A64c = _con_op(apply_raw, mask)
+                    A32c = _con_op(apply32, mask)
+                    rhs = _con_rhs(apply_raw, b, mask, g)
+                    x, info = refined_solve(
+                        A64c, A32c, rhs, M32=_M32_tri,
+                        rtol=rtol, atol=atol,
+                        inner_iters=40, max_outer=40, inner="gmres",
+                    )
+                    return x, info
 
         def run():
             A_loc = local_vector_laplacian(cb, nu)
