@@ -317,11 +317,20 @@ def timed_run(run: Callable[[], Any]) -> Tuple[Any, float, float]:
     if _COLD:
         return result, t_cold, t_cold
     t_warm = None
-    for _ in range(_WARM_REPEATS):
-        t1 = time.perf_counter()
-        result = run()
-        dt = time.perf_counter() - t1
-        t_warm = dt if t_warm is None else min(t_warm, dt)
+    for attempt in range(3):
+        for _ in range(_WARM_REPEATS):
+            t1 = time.perf_counter()
+            result = run()
+            dt = time.perf_counter() - t1
+            t_warm = dt if t_warm is None else min(t_warm, dt)
+        # a warm pass slower than the cold pass (which INCLUDED the
+        # compile) is a measurement pathology, not a property of the
+        # solver — observed as a sustained ~7 min remote-TPU tunnel
+        # stall that inflated one bench case 165x. Retry (bounded),
+        # keeping the global minimum.
+        if t_warm <= 1.5 * t_cold + 1.0:
+            break
+        time.sleep(2.0 * attempt)
     return result, t_warm, t_cold
 
 

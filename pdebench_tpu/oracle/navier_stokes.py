@@ -125,11 +125,20 @@ class NavierStokesSolver:
         # CPU default stays host-LU: the 1-core host SuperLU beats the
         # f32 Krylov there and the jitted programs pay the XLA-CPU
         # constant-folding compile stall (round-2 A/B).
+        # Device whole-Newton is OPT-IN everywhere after the round-3
+        # same-window TPU A/B: 5.3-5.5 s (1920 fixed-length FGMRES-IR
+        # iterations; the Stokes-only velocity V-cycle gains ~0.1
+        # digit/restart on the CONVECTED Jacobian) vs 3.62 s for the
+        # device MINRES init + 2 host SuperLU Newton solves on the same
+        # contended box (~2.4 s idle). inner=80 measured 3.74 s — still
+        # behind. The named fix is a convection-aware M (true-Jacobian
+        # smoothing over the Stokes coarse hierarchy), not more
+        # restarts.
         _init_env = os.environ.get("PDEBENCH_TPU_NS_DEVICE_INIT", "")
         _dev_env = os.environ.get("PDEBENCH_TPU_NS_DEVICE_NEWTON", "")
         _on_tpu = jax.devices()[0].platform in ("tpu", "axon")
         use_dev_init = _init_env != "0" and (_on_tpu or _init_env == "1")
-        use_dev_newton = _dev_env != "0" and (_on_tpu or _dev_env == "1")
+        use_dev_newton = _dev_env == "1"
 
         parts = None
         sst = None

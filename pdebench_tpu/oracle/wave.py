@@ -96,9 +96,8 @@ class WaveSolver:
         # accuracy, so route it there and skip the jit path entirely.
         from ..solvers.stencil import detect_lattice
 
-        ref_direct = not _compute_baseline and (
-            detect_lattice(space.dof_coords) is None
-        )
+        _no_lattice = detect_lattice(space.dof_coords) is None
+        ref_direct = not _compute_baseline and _no_lattice
 
         if use_ir and not ref_direct:
             # structured (incl. masked rectilinear) meshes: gather-free
@@ -110,6 +109,22 @@ class WaveSolver:
                 space,
                 np.asarray(mask),
             )
+        # On the CPU host, MAIN solves whose operator does NOT reduce
+        # to a paddable stencil (unstructured meshes AND periodic
+        # wrap-around lattices, stencil.py:653) route direct as well:
+        # the step matrix is constant, so one SuperLU factorization +
+        # num_steps back-solves beats the in-scan AMG/jacobi-CG in
+        # wall time AND avoids the 15-50+ min XLA-CPU scan compiles
+        # (heat.py's direct fallback promoted to the primary route;
+        # pc_type hypre maps to "AMG or direct fallback" in our
+        # dispatch policy). TPU keeps the jitted scan.
+        if (
+            lattice32 is None
+            and ndof <= 80000
+            and _jax.devices()[0].platform not in ("tpu", "axon")
+        ):
+            ref_direct = True
+
         if (
             use_ir
             and not ref_direct
