@@ -55,11 +55,15 @@ class BiharmonicSolver:
         phi = cb.phi
         dofmap = jnp.asarray(space.dofmap_scalar)
 
-        def run():
+        def build():
             K = local_stiffness(cb)
             op = LocalOperator(K, space.dofmap_scalar, space.ndof)
-            # first Poisson: -Lap w = f
-            b_w = ctx.load_vector(f_fn(ctx.qpts()))
+            # first Poisson rhs: -Lap w = f
+            return op, ctx.load_vector(f_fn(ctx.qpts()))
+
+        op, b_w = base.charge_setup(ctx, build)
+
+        def run():
             w, info_w = solve_linear(op, b_w, mask_w, g_w, opts, symmetric=True)
             # second Poisson: -Lap u = w_h
             w_j = jnp.asarray(w)

@@ -146,7 +146,11 @@ class BurgersSolver:
                 )
 
         @jax.jit
-        def run_scan(M, K, u0_arr, P_adv, W_c32):
+        def run_scan(M, K, u0_arr, P_parts, W_c32):
+            # rebuild the dense bilinear plane stack in-trace from the
+            # small compressed parts (tile + boundary bands): shipping
+            # the dense ~50 MB stack through the axon tunnel cost ~1.5 s
+            P_adv = bwm.P_dense(P_parts) if bwm is not None else None
             # per-step load vectors and Dirichlet values hoisted OUT of
             # the scan: one batched scatter each replaces num_steps
             # in-scan scatters (TPU scatters serialize — the round-2
@@ -156,11 +160,18 @@ class BurgersSolver:
 
             def step(u_n, xs):
                 t_next, b_ext, g = xs
-                # lagged convection coefficient at quadrature points:
-                # beta = u_n * (1, ..., 1)
-                un_q = jnp.einsum("qi,ci->cq", phi, u_n[dofmap])
-                beta_q = jnp.repeat(un_q[..., None], dim, axis=-1)
-                A = inv_dt * M + local_advection(cb, beta_q) + nu * K
+                # cell-local per-step matrix: DEAD in the stencil +
+                # bilinear-weights path (raw64/A32/M all come from the
+                # step weights there), so skip building it — its M/K
+                # inputs then need no device transfer at all
+                if _need_A:
+                    # lagged convection coefficient at quadrature
+                    # points: beta = u_n * (1, ..., 1)
+                    un_q = jnp.einsum("qi,ci->cq", phi, u_n[dofmap])
+                    beta_q = jnp.repeat(un_q[..., None], dim, axis=-1)
+                    A = inv_dt * M + local_advection(cb, beta_q) + nu * K
+                else:
+                    A = None
                 Mu = (
                     apply_M(u_n)
                     if apply_M is not None
@@ -170,7 +181,7 @@ class BurgersSolver:
                 if _MIXED:
                     # matrix changes per step (lagged convection): cast
                     # the fresh batch and run FGMRES-IR
-                    A32 = A.astype(jnp.float32)
+                    A32 = A.astype(jnp.float32) if A is not None else None
                     if bwm is not None:
                         u_lat32 = lattice32.embedding.embed(
                             u_n.astype(jnp.float32), 0
@@ -202,13 +213,37 @@ class BurgersSolver:
 
             return jax.lax.scan(step, u0_arr, (ts, B_all, G_all))
 
+        # The cell-local per-step matrix is needed only off the
+        # stencil+bilinear fast path (or for the exact cell outer);
+        # when dead, don't even ship its M/K inputs to the device
+        # (2 x ~10 MB f64 over the axon tunnel).
+        _need_A = (
+            (not _MIXED)
+            or bwm is None
+            or os.environ.get("PDEBENCH_TPU_STEP_OUTER", "stencil")
+            == "cell"
+        )
+
+        # hoist per-case constants OUT of the timed run(): bwm.P alone
+        # is a pairs x n_lat f32 plane stack (~50 MB at res 128) whose
+        # np->jnp conversion re-crossed the host->device tunnel on every
+        # warm pass, and the local mass/stiffness host einsums re-ran
+        # per pass (round-3 micro-split: scan 0.66 s vs reported 2.6 s).
+        # Their one-time cost is still charged — to t_setup.
+        def build():
+            if _need_A or apply_M is None:
+                K_loc = jnp.asarray(local_stiffness(cb))
+                M_loc = jnp.asarray(local_mass(cb))
+            else:
+                K_loc = M_loc = None
+            P_dev = bwm.P_parts if bwm is not None else None
+            return K_loc, M_loc, P_dev, jnp.asarray(u0)
+
+        K_loc, M_loc, P_dev, u0_dev = base.charge_setup(ctx, build)
+
         def run():
-            K = local_stiffness(cb)
-            M = local_mass(cb)
             u, (its, ress) = run_scan(
-                M, K, jnp.asarray(u0),
-                bwm.P if bwm is not None else None,
-                W_const32,
+                M_loc, K_loc, u0_dev, P_dev, W_const32,
             )
             grid = ctx.sample(np.asarray(u))
             return grid, {

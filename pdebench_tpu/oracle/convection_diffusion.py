@@ -121,10 +121,14 @@ class ConvectionDiffusionSolver:
             f_fn = symbolic.lambdify_spatial(src, dim)
             opts["_lattice32"] = scalar.maybe_lattice32(ctx, assemble_A())
 
-            def run():
+            def build():
                 A = assemble_A()
                 op = LocalOperator(A, space.dofmap_scalar, space.ndof)
-                b = load(f_fn(qpts))
+                return op, load(f_fn(qpts))
+
+            op, b = base.charge_setup(ctx, build)
+
+            def run():
                 x, info = solve_linear(
                     op, b, ctx.mask, ctx.g, opts, symmetric=False
                 )

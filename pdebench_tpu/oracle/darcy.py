@@ -63,11 +63,14 @@ class DarcySolver:
             ctx, local_stiffness(ctx.cb, kappa(ctx.qpts()))
         )
 
-        def run():
-            kq = kappa(ctx.qpts())
-            K = local_stiffness(ctx.cb, kq)
+        def build():
+            K = local_stiffness(ctx.cb, kappa(ctx.qpts()))
             op = LocalOperator(K, ctx.space.dofmap_scalar, ctx.space.ndof)
-            b = ctx.load_vector(f_fn(ctx.qpts()))
+            return op, ctx.load_vector(f_fn(ctx.qpts()))
+
+        op, b = base.charge_setup(ctx, build)
+
+        def run():
             x, info = solve_linear(op, b, ctx.mask, ctx.g, opts)
             grid = ctx.sample(x)
             return grid, info

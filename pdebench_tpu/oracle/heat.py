@@ -135,12 +135,21 @@ class HeatSolver:
 
             return jax.lax.scan(step, u0_arr, (ts, B_all, G_all))
 
+        def build():
+            # host-side numpy assembly throughout, one device transfer
+            # each (eager device arithmetic compiles remotely on axon)
+            K = np.asarray(local_stiffness(cb, kappa(qpts)))
+            M = np.asarray(local_mass(cb))
+            return (
+                jnp.asarray(M + dt * K),
+                jnp.asarray(M),
+                jnp.asarray(u0),
+            )
+
+        A_sys, M, u0_dev = base.charge_setup(ctx, build)
+
         def run():
-            kq = kappa(qpts)
-            K = local_stiffness(cb, kq)
-            M = local_mass(cb)
-            A_sys = M + dt * K
-            u, (its, ress, convs) = run_scan(A_sys, M, jnp.asarray(u0))
+            u, (its, ress, convs) = run_scan(A_sys, M, u0_dev)
             info = {
                 "iterations": int(np.asarray(its).sum()),
                 "residual": float(np.asarray(ress)[-1]),

@@ -72,12 +72,15 @@ class HelmholtzSolver:
             )
             run_opts["_amg_matrix"] = shift_op.to_scipy()
 
-        def run():
-            K = local_stiffness(ctx.cb)
-            M = local_mass(ctx.cb)
-            A = K - k2 * M
+        def build():
+            A = local_stiffness(ctx.cb) - k2 * local_mass(ctx.cb)
             op = LocalOperator(A, ctx.space.dofmap_scalar, ctx.space.ndof)
             b = ctx.load_vector(f_fn(ctx.qpts()))
+            return op, b
+
+        op, b = base.charge_setup(ctx, build)
+
+        def run():
             x, info = solve_linear(
                 op, b, ctx.mask, ctx.g, run_opts, symmetric=False
             )

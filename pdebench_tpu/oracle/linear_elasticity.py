@@ -93,14 +93,19 @@ class LinearElasticitySolver:
             run_opts["_amg_B"] = rigid_body_modes(space.dof_coords, space.ncomp)
             run_opts["_amg_block"] = space.ncomp
 
-        def run():
+        def build():
             K = local_elasticity(cb, mu, lam)
             op = LocalOperator(K, space.dofmap, space.ndof)
-            qp = ctx.qpts()
-            f_q = jnp.stack([f(qp) for f in f_fns], axis=-1)
+            f_q = jnp.stack([f(ctx.qpts()) for f in f_fns], axis=-1)
             b = scatter_add(
-                local_vector_load(cb, f_q), jnp.asarray(space.dofmap), space.ndof
+                local_vector_load(cb, f_q), jnp.asarray(space.dofmap),
+                space.ndof,
             )
+            return op, b
+
+        op, b = base.charge_setup(ctx, build)
+
+        def run():
             x, info = solve_linear(op, b, ctx.mask, ctx.g, run_opts, symmetric=True)
             grid = ctx.sample(x)
             return grid, info

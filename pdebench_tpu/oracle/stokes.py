@@ -224,13 +224,16 @@ class StokesSolver:
                     )
                     return x, info
 
-        def run():
-            A_loc = local_vector_laplacian(cb, nu)
-            G_loc = local_divergence(cb, ctx.psi)
+        def build():
+            A_loc = jnp.asarray(local_vector_laplacian(cb, nu))
+            G_loc = jnp.asarray(local_divergence(cb, ctx.psi))
             f_q = jnp.stack([f(ctx.qpts()) for f in f_fns], axis=-1)
             b_u = scatter_add(local_vector_load(cb, f_q), dofmap_u, V.ndof)
-            b = jnp.concatenate([b_u, jnp.zeros(Q.ndof)])
+            return A_loc, G_loc, jnp.concatenate([b_u, jnp.zeros(Q.ndof)])
 
+        A_loc, G_loc, b = base.charge_setup(ctx, build)
+
+        def run():
             info: Dict[str, Any] = {"ksp_type": ksp, "pc_type": pc, "rtol": rtol}
             if jitted_minres is not None:
                 x, kinfo = jitted_minres(A_loc, G_loc, b, ctx.mask, ctx.g)

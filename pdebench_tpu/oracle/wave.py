@@ -235,16 +235,24 @@ class WaveSolver:
                 uhm1, uh = uh, x
             return uh
 
-        def run():
-            K = local_stiffness(cb)
-            M = local_mass(cb)
+        def build():
+            K = np.asarray(local_stiffness(cb))
+            M = np.asarray(local_mass(cb))
             A_sys = inv_dt2 * M + THETA * c2 * K
+            if ref_direct:  # host path: keep numpy operands
+                return A_sys, M, K, u0, um1
+            return (
+                jnp.asarray(A_sys), jnp.asarray(M), jnp.asarray(K),
+                jnp.asarray(u0), jnp.asarray(um1),
+            )
+
+        A_sys, M, K, u0_d, um1_d = base.charge_setup(ctx, build)
+
+        def run():
             if ref_direct:
                 u = direct_loop(A_sys, M, K)
                 return ctx.sample(np.asarray(u)), {"fallback": "direct"}
-            u, (its, ress, convs) = run_scan(
-                A_sys, M, K, jnp.asarray(u0), jnp.asarray(um1)
-            )
+            u, (its, ress, convs) = run_scan(A_sys, M, K, u0_d, um1_d)
             info = {
                 "iterations": int(np.asarray(its).sum()),
                 "residual": float(np.asarray(ress)[-1]),

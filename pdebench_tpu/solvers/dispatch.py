@@ -144,7 +144,11 @@ def solve_constrained_ir(
         _swm, _sW32 = step_weights
         _emb_s, _inv_s = lattice32.embedding, lattice32.inv_j
         _gs_s = lattice32.grid_shape
-        _W64s = _sW32.astype(A_local.dtype)
+        # A_local is None on the bilinear fast path (the cell batch is
+        # dead there and its inputs never shipped); the outer dtype is
+        # the rhs dtype
+        _outer_dt = A_local.dtype if A_local is not None else b.dtype
+        _W64s = _sW32.astype(_outer_dt)
 
         def raw64(v, _swm=_swm, _W64s=_W64s):
             v_lat = _emb_s.embed(v, 0.0).reshape(_gs_s)

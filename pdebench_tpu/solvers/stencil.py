@@ -254,10 +254,87 @@ class BilinearLatticeWeightMap:
         self.P_np = np.stack(
             [P[a, b].reshape(shape) for a, b in pairs]
         ).astype(np.float32 if dtype == jnp.float32 else np.float64)
+        self._compress()
+
+    def _compress(self) -> None:
+        """Translation-invariant compression of the P plane stack.
+
+        On a uniform lattice every interior site of a given node class
+        (vertex / edge-mid / center for P2) has an identical cell
+        neighborhood, so each P plane is (r, r)-periodic away from the
+        boundary: store a phase-0 (r, r) tile plus four boundary bands
+        instead of the dense (pairs, ny, nx) stack — ~50 MB at res-128
+        P2, a measured ~1.5 s one-time transfer over the axon tunnel,
+        vs ~3 MB compressed. Masked/graded lattices fail the exactness
+        check and keep the dense stack.
+        """
+        self._compressed = None
+        if self.P_np.ndim != 3:
+            return
+        _, ny, nx = self.P_np.shape
+        # tolerance, not bit-equality: uniform-mesh coordinates round
+        # differently per cell (i*h), so interior entries can differ at
+        # the last ulp; <=1e-6 relative operator perturbation is the
+        # same class as the accepted f32 step-weight reassociation
+        tol = 1e-6 * max(float(np.abs(self.P_np).max()), 1e-300)
+        for r in (1, 2, 3):
+            if 4 * r >= min(ny, nx):
+                continue
+            # anchor the reference tile at the phase-0 site nearest the
+            # lattice center, then take the smallest boundary band that
+            # contains every mismatch vs the periodic extension
+            a0 = (min(ny, nx) // 2 // r) * r
+            tile = self.P_np[:, a0 : a0 + r, a0 : a0 + r]
+            reps = (1, -(-ny // r), -(-nx // r))
+            full = np.tile(tile, reps)[:, :ny, :nx]
+            bad = np.argwhere(np.abs(full - self.P_np).max(axis=0) > tol)
+            if len(bad):
+                y, x = bad[:, 0], bad[:, 1]
+                depth = np.minimum(
+                    np.minimum(y, ny - 1 - y), np.minimum(x, nx - 1 - x)
+                )
+                bw = int(depth.max()) + 1
+            else:
+                bw = 1
+            if 2 * bw + r >= min(ny, nx):
+                continue  # band would cover the lattice: keep dense
+            self._periods = (r, bw)
+            self._compressed = (
+                tile,
+                self.P_np[:, :bw, :],
+                self.P_np[:, -bw:, :],
+                self.P_np[:, bw:-bw, :bw],
+                self.P_np[:, bw:-bw, -bw:],
+            )
+            return
 
     @property
     def P(self) -> jnp.ndarray:
         return jnp.asarray(self.P_np)
+
+    @property
+    def P_parts(self):
+        """Small-array pytree to pass as jit arguments; rebuild the
+        dense stack in-trace with `P_dense` (avoids shipping the dense
+        planes host->device)."""
+        if self._compressed is None:
+            return (jnp.asarray(self.P_np),)
+        return tuple(jnp.asarray(a) for a in self._compressed)
+
+    def P_dense(self, parts) -> jnp.ndarray:
+        """Traceable (pairs, ny, nx) reconstruction from P_parts."""
+        if self._compressed is None:
+            return parts[0]
+        tile, top, bottom, left, right = parts
+        r, bw = self._periods
+        ny, nx = self.shape
+        reps = (1, -(-ny // r), -(-nx // r))
+        P = jnp.tile(tile, reps)[:, :ny, :nx]
+        P = jax.lax.dynamic_update_slice(P, top, (0, 0, 0))
+        P = jax.lax.dynamic_update_slice(P, bottom, (0, ny - bw, 0))
+        P = jax.lax.dynamic_update_slice(P, left, (0, bw, 0))
+        P = jax.lax.dynamic_update_slice(P, right, (0, bw, nx - bw))
+        return P
 
     def weights_w(self, P: jnp.ndarray, u_lat: jnp.ndarray) -> jnp.ndarray:
         """(pairs,)+shape plane stack + lattice-shaped u -> (K,)+shape

@@ -145,6 +145,18 @@ def test_bilinear_weight_map_matches_scatter():
         scale = np.abs(W_ref).max()
         np.testing.assert_allclose(W_blt, W_ref, atol=2e-6 * scale)
 
+        # compressed P round trip: full lattices compress to a periodic
+        # tile + boundary bands (masked l_shape must fall back dense);
+        # P_dense(P_parts) must rebuild the stack to the compression
+        # tolerance and produce the same step weights
+        if not lat.masked:
+            assert bwm._compressed is not None, "expected compression"
+        P_rt = np.asarray(bwm.P_dense(bwm.P_parts))
+        pscale = np.abs(bwm.P_np).max()
+        np.testing.assert_allclose(P_rt, bwm.P_np, atol=2e-6 * pscale)
+        W_cmp = np.asarray(bwm.weights_w(jnp.asarray(P_rt), u_lat))
+        np.testing.assert_allclose(W_cmp, W_ref, atol=4e-6 * scale)
+
 
 def test_burgers_step_weights_match_cell_path(monkeypatch):
     """Per-step stencil weights (lagged convection) must reproduce the
