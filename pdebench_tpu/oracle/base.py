@@ -325,11 +325,19 @@ def charge_setup(ctx, fn: Callable[[], Any]) -> Any:
     """
     import jax as _jax
 
+    def _block(v):
+        for leaf in _jax.tree_util.tree_leaves(v):
+            if hasattr(leaf, "block_until_ready"):
+                leaf.block_until_ready()
+
+    # cold/warm split, exactly like timed_run: the first call absorbs
+    # the one-time remote XLA compiles of any eager device ops (those
+    # were previously excluded via run()'s cold pass); the second call
+    # measures the steady work (host einsums, transfers) and is charged.
+    _block(fn())
     t0 = time.perf_counter()
     out = fn()
-    for leaf in _jax.tree_util.tree_leaves(out):
-        if hasattr(leaf, "block_until_ready"):
-            leaf.block_until_ready()
+    _block(out)
     ctx.t_setup += time.perf_counter() - t0
     return out
 

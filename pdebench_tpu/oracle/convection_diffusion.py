@@ -94,11 +94,17 @@ class ConvectionDiffusionSolver:
 
         cb, space = ctx.cb, ctx.space
         qpts = ctx.qpts()
-        beta_q = jnp.stack([f(qpts) for f in beta_fns], axis=-1)  # (c, nq, d)
+        # HOST operands: the weak-form kernels dispatch np.einsum for
+        # numpy inputs — a device beta_q would turn the whole (SUPG)
+        # assembly into dozens of EAGER device einsums, each a remote
+        # round trip on axon (measured ~19 s/case, round-3 probe)
+        beta_q = np.stack(
+            [np.asarray(f(np.asarray(qpts))) for f in beta_fns], axis=-1
+        )  # (c, nq, d)
 
         if stab == "supg":
-            h_c = jnp.asarray(ctx.mesh.cell_diameters())
-            bnorm = jnp.linalg.norm(beta_q, axis=-1).mean(axis=1)  # (c,)
+            h_c = np.asarray(ctx.mesh.cell_diameters())
+            bnorm = np.linalg.norm(beta_q, axis=-1).mean(axis=1)  # (c,)
             tau_c = alpha * h_c / (2.0 * bnorm + 1e-12)
         else:
             tau_c = None

@@ -96,7 +96,12 @@ class LinearElasticitySolver:
         def build():
             K = local_elasticity(cb, mu, lam)
             op = LocalOperator(K, space.dofmap, space.ndof)
-            f_q = jnp.stack([f(ctx.qpts()) for f in f_fns], axis=-1)
+            # host f_q: keeps local_vector_load an np.einsum (a device
+            # f_q would make it an eager remote op on axon)
+            f_q = np.stack(
+                [np.asarray(f(np.asarray(ctx.qpts()))) for f in f_fns],
+                axis=-1,
+            )
             b = scatter_add(
                 local_vector_load(cb, f_q), jnp.asarray(space.dofmap),
                 space.ndof,

@@ -309,12 +309,20 @@ def saddle_gmg_precond_parts(
     # component application (safe in non-flexible GMRES: linear in r)
     fused = None
     try:
+        import os as _os
+
         import jax as _jax
 
         if _jax.devices()[0].platform in ("tpu", "axon"):
             from ..solvers.gmg_fused import build_fused_richardson
 
-            fused = build_fused_richardson(gmg, 2)
+            # chain length trades per-application cost for outer
+            # Krylov iterations (the saddle solves are latency-bound:
+            # a longer chain is nearly free inside one kernel launch)
+            _nv = int(
+                _os.environ.get("PDEBENCH_TPU_SADDLE_VCYCLES", "2")
+            )
+            fused = build_fused_richardson(gmg, _nv)
     except Exception:
         fused = None
 

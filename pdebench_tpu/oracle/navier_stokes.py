@@ -104,7 +104,12 @@ class NavierStokesSolver:
 
         A1_loc = local_vector_laplacian(cb, 1.0)  # scale by nu per rung
         G_loc = local_divergence(cb, ctx.psi)
-        f_q = jnp.stack([f(ctx.qpts()) for f in f_fns], axis=-1)
+        # host f_q: keeps local_vector_load an np.einsum (device f_q
+        # would dispatch eager remote einsums on axon)
+        f_q = np.stack(
+            [np.asarray(f(np.asarray(ctx.qpts()))) for f in f_fns],
+            axis=-1,
+        )
         b_u = scatter_add(local_vector_load(cb, f_q), dofmap_u, V.ndof)
         b = jnp.concatenate([b_u, jnp.zeros(Q.ndof)])
         mask_j, g_j = ctx.mask, ctx.g
@@ -306,16 +311,106 @@ class NavierStokesSolver:
             _ns_inner = int(
                 os.environ.get("PDEBENCH_TPU_NS_INNER_ITERS", "40")
             )
+            # Convection-aware M (the round-3 named fix): the Stokes
+            # V-cycle alone gains ~0.1 digit/restart on the CONVECTED
+            # Jacobian. Wrap it in damped block-Jacobi smoothing with
+            # the TRUE per-step Jacobian block stencil (pre + post), so
+            # the convection (incl. its cross-component coupling, which
+            # the scalar per-component V-cycle cannot represent) enters
+            # the preconditioner at the fine level. Cost: ~3 extra
+            # block-stencil applies per M application.
+            _conv_m = (
+                os.environ.get("PDEBENCH_TPU_NS_CONV_M", "1") == "1"
+            )
+            _dim0 = len(sst.fine)
+            _k0 = sst.wmapA.offsets.index((0,) * _dim0)
+            # per-(site, component) free mask on the velocity lattice
+            _keep_np = 1.0 - sst.blat.embed_np(
+                np.asarray(ctx.mask)[: V.ndof].astype(np.float32), 1.0
+            ).reshape(sst.fine + (dim,))
+            _keep = jnp.asarray(_keep_np)
+            _om = float(os.environ.get("PDEBENCH_TPU_NS_CONV_OMEGA", "0.8"))
+
+            def _make_conv_M(WA32):
+                D = WA32[_k0]  # fine + (d, d)
+                if dim == 2:
+                    det = (
+                        D[..., 0, 0] * D[..., 1, 1]
+                        - D[..., 0, 1] * D[..., 1, 0]
+                    )
+                    ok = jnp.abs(det) > 1e-30
+                    ds = jnp.where(ok, det, 1.0)
+                    Dinv = jnp.stack(
+                        [
+                            jnp.stack(
+                                [D[..., 1, 1] / ds, -D[..., 0, 1] / ds],
+                                axis=-1,
+                            ),
+                            jnp.stack(
+                                [-D[..., 1, 0] / ds, D[..., 0, 0] / ds],
+                                axis=-1,
+                            ),
+                        ],
+                        axis=-2,
+                    )
+                    eye = jnp.broadcast_to(
+                        jnp.eye(2, dtype=WA32.dtype), Dinv.shape
+                    )
+                    Dinv = jnp.where(ok[..., None, None], Dinv, eye)
+                else:  # diagonal-only inverse off 2-D
+                    dg = jnp.diagonal(D, axis1=-2, axis2=-1)
+                    safe = jnp.where(jnp.abs(dg) > 1e-30, dg, 1.0)
+                    Dinv = (
+                        jnp.eye(dim, dtype=WA32.dtype) / safe[..., None]
+                    )
+
+                def _dinv(r):
+                    return _om * jnp.einsum("...ab,...b->...a", Dinv, r)
+
+                def _smooth(x, r_lat):
+                    res = (
+                        r_lat - sst.wmapA.apply_grid(WA32, x)
+                    ) * _keep
+                    return x + _dinv(res)
+
+                def M32c(r32):
+                    ru, rp = r32[: V.ndof], r32[V.ndof :]
+                    r_lat = (
+                        sst.blat.embed(ru, 0.0).reshape(
+                            sst.fine + (dim,)
+                        )
+                        * _keep
+                    )
+                    x = _dinv(r_lat)  # pre-smooth from zero
+                    r1 = (
+                        r_lat - sst.wmapA.apply_grid(WA32, x)
+                    ) * _keep
+                    zc = parts.Mv(sst.blat.extract(r1.reshape(-1)))
+                    x = x + sst.blat.embed(zc, 0.0).reshape(
+                        sst.fine + (dim,)
+                    )
+                    x = _smooth(x, r_lat)  # post-smooth
+                    zu = sst.blat.extract(x.reshape(-1))
+                    gt = sst.applyGT(sst.WGT32, x).reshape(-1)[
+                        sst._pinv
+                    ]
+                    zp = -parts.inv_p.astype(jnp.float32) * (rp - gt)
+                    out = jnp.concatenate([zu, zp])
+                    return jnp.where(parts.mask_full, r32, out)
+
+                return M32c
 
             def _lin_solve(Ju, rhs, eta):
                 """Traceable saddle solve (FGMRES-IR, f32 inner) to a
                 (possibly traced) relative tolerance eta."""
+                M32_use = M32_newton
                 if sst is not None:
                     WA64 = sst.wmapA.weights(Ju)
+                    WA32 = WA64.astype(jnp.float32)
                     apply64 = sst.saddle_apply_w(WA64)
-                    apply32 = sst.saddle_apply_w(
-                        WA64.astype(jnp.float32)
-                    )
+                    apply32 = sst.saddle_apply_w(WA32)
+                    if _conv_m:
+                        M32_use = _make_conv_M(WA32)
                 else:
                     apply64 = mixed.saddle_apply(
                         Ju, G_loc, dofmap_u, dofmap_p, V.ndof, Q.ndof
@@ -327,7 +422,7 @@ class NavierStokesSolver:
                 A64 = _con_op(apply64, mask_j)
                 A32 = _con_op(apply32, mask_j)
                 d, info = refined_solve(
-                    A64, A32, rhs, M32=M32_newton,
+                    A64, A32, rhs, M32=M32_use,
                     rtol=eta, atol=1e-12,
                     inner_iters=_ns_inner, max_outer=20, inner="gmres",
                 )

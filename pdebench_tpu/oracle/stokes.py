@@ -227,7 +227,12 @@ class StokesSolver:
         def build():
             A_loc = jnp.asarray(local_vector_laplacian(cb, nu))
             G_loc = jnp.asarray(local_divergence(cb, ctx.psi))
-            f_q = jnp.stack([f(ctx.qpts()) for f in f_fns], axis=-1)
+            # host f_q: keeps local_vector_load an np.einsum (a device
+            # f_q would make it an eager remote op on axon)
+            f_q = np.stack(
+                [np.asarray(f(np.asarray(ctx.qpts()))) for f in f_fns],
+                axis=-1,
+            )
             b_u = scatter_add(local_vector_load(cb, f_q), dofmap_u, V.ndof)
             return A_loc, G_loc, jnp.concatenate([b_u, jnp.zeros(Q.ndof)])
 

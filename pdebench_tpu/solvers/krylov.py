@@ -181,14 +181,24 @@ def gmres(
         def inner(j, carry):
             V, H, brk = carry
             w = M(A(V[j]))
-            # modified Gram-Schmidt
-            def mgs(i, wc):
-                w, H = wc
-                hij = jnp.vdot(V[i], w) * (i <= j)
-                H = H.at[i, j].add(hij)
-                return (w - hij * V[i], H)
+            if _GMRES_ORTH == "mgs":
+                # modified Gram-Schmidt (sequential vdot+axpy passes)
+                def mgs(i, wc):
+                    w, H = wc
+                    hij = jnp.vdot(V[i], w) * (i <= j)
+                    H = H.at[i, j].add(hij)
+                    return (w - hij * V[i], H)
 
-            w, H = jax.lax.fori_loop(0, m + 1, mgs, (w, H))
+                w, H = jax.lax.fori_loop(0, m + 1, mgs, (w, H))
+            else:
+                # CGS2: rows of V beyond column j are exactly zero, so
+                # two matmul correction passes need no masking (see
+                # refined_solve.inner_gmres)
+                h1 = V @ w
+                w = w - V.T @ h1
+                h2 = V @ w
+                w = w - V.T @ h2
+                H = H.at[:, j].add(h1 + h2)
             hnorm = jnp.linalg.norm(w)
             H = H.at[j + 1, j].set(hnorm)
             V = V.at[j + 1].set(w / jnp.where(hnorm < eps, eps, hnorm))
