@@ -126,6 +126,25 @@ class ConvectionDiffusionSolver:
         if not transient:
             f_fn = symbolic.lambdify_spatial(src, dim)
             opts["_lattice32"] = scalar.maybe_lattice32(ctx, assemble_A())
+            if opts["_lattice32"] is None and space.ndof >= 20000:
+                # Unstructured steady route: SA-AMG built on the full
+                # nonsymmetric advection/SUPG operator can yield a
+                # divergent V-cycle (measured: convdiff_annulus_diag_supg
+                # ground ~90 min/pass through a stagnating IR + f64 GMRES
+                # retry before the LU fallback). Precondition with the
+                # SPD symmetric part instead: eps K plus the streamline-
+                # diffusion term tau (beta.grad v)(beta.grad u), which is
+                # symmetric PSD (operator parity: reference
+                # pdebench/oracle/convection_diffusion.py:239-243).
+                def _spd_surrogate():
+                    A_spd = epsilon * local_stiffness(cb)
+                    if tau_c is not None:
+                        A_spd = A_spd + local_supg(cb, beta_q, tau_c, 0.0)
+                    return LocalOperator(
+                        np.asarray(A_spd), space.dofmap_scalar, space.ndof
+                    ).to_scipy()
+
+                opts["_amg_matrix"] = base.charge_setup(ctx, _spd_surrogate)
 
             def build():
                 A = assemble_A()

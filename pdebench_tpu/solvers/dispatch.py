@@ -571,6 +571,22 @@ def solve_linear(
             return np.asarray(x), info
         # fall through to the generic paths below
 
+    # CPU-host mains: unstructured NONSYMMETRIC steady systems route
+    # direct — one SuperLU factorization beats 1-core AMG-FGMRES in
+    # wall time at dataset sizes (the oracle/wave.py CPU policy;
+    # measured pathology: convdiff_annulus_diag_supg spent 5462 s in a
+    # stagnating f32 IR + 25k-iteration f64 GMRES retry before reaching
+    # the same LU fallback). TPU/axon keeps the device iterative path.
+    if (
+        not use_direct
+        and not symmetric
+        and lat32 is None
+        and op.ndof <= 80000
+        and jax.devices()[0].platform not in ("tpu", "axon")
+    ):
+        use_direct = True
+        info["cpu_main_direct"] = True
+
     # nonsymmetric systems benefit from AMG + FGMRES-IR well below the
     # SPD threshold (indefinite Helmholtz needs the shifted-Laplacian
     # preconditioner; plain Jacobi stalls)
@@ -657,8 +673,12 @@ def solve_linear(
                 A = constrained_operator(raw, mask_in)
                 rhs = constrained_rhs(raw, b_in, mask_in, g_in)
                 x0 = jnp.where(mask_in, g_in, 0.0)
+                # the retry exists to clear the f32 precision floor, a
+                # few-digit gap; cap it so a non-converging system falls
+                # through to the LU path in minutes, not hours
                 return kry(
-                    A, rhs, x0=x0, M=M, rtol=rtol, atol=atol, maxiter=maxiter
+                    A, rhs, x0=x0, M=M, rtol=rtol, atol=atol,
+                    maxiter=min(maxiter, 3000),
                 )
 
             cache[key] = (jax.jit(_solve), jax.jit(_solve_f64), pc_used)
@@ -666,9 +686,18 @@ def solve_linear(
         info["pc_used"] = pc_used + ("+ir32" if mixed else "")
         x, kinfo = solver(op.A, b, mask, g)
         if mixed and not bool(kinfo.converged):
-            # precision floor or hard conditioning: full f64 retry
-            x, kinfo = solver_f64(op.A, b, mask, g)
-            info["pc_used"] = pc_used + "+f64retry"
+            # Precision floor or hard conditioning: full f64 retry —
+            # but only when the f32 pass actually made progress. A
+            # stagnated IR at O(|b|) residual means the preconditioned
+            # operator is bad (e.g. divergent AMG V-cycle on a strongly
+            # nonsymmetric matrix) and the f64 retry would grind its
+            # whole budget before the LU fallback saves the case.
+            b_norm = float(np.linalg.norm(np.asarray(b)))
+            if float(kinfo.residual) < 1e-3 * max(b_norm, 1e-300):
+                x, kinfo = solver_f64(op.A, b, mask, g)
+                info["pc_used"] = pc_used + "+f64retry"
+            else:
+                info["pc_used"] = pc_used + "+stagnated"
         if bool(kinfo.converged):
             info.update(
                 method=method,
