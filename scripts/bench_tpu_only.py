@@ -32,6 +32,8 @@ for case in suite:
             "t": round(r.baseline_time, 3),
             "err": float(r.baseline_error),
             "t_cold": r.solver_info.get("t_cold"),
+            "t_setup": round(r.solver_info.get("t_setup", 0.0), 3),
+            "its": r.solver_info.get("iterations"),
         }
     except Exception as e:  # keep probing the rest of the suite
         rec = {"id": case["id"], "error": f"{type(e).__name__}: {e}"}
