@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--equation-types", nargs="*", default=None)
     ap.add_argument("--timeout", type=float, default=900.0,
                     help="per-case soft budget; record and move on")
+    ap.add_argument("--order-file", default=None,
+                    help="file with one case_id per line; run listed cases "
+                         "first in that order (cheap-first banks more "
+                         "records under a deadline), unlisted ones after")
     args = ap.parse_args()
 
     os.environ["PDEBENCH_TPU_FORCE_DIRECT"] = "1"
@@ -57,6 +61,10 @@ def main():
             except Exception:
                 pass
     todo = [c for c in cases if c["id"] not in done]
+    if args.order_file:
+        order = [l.strip() for l in open(args.order_file) if l.strip()]
+        rank = {cid: i for i, cid in enumerate(order)}
+        todo.sort(key=lambda c: rank.get(c["id"], len(rank)))
     print(f"{len(cases)} cases, {len(done)} frozen, {len(todo)} to run",
           flush=True)
 
