@@ -57,6 +57,28 @@ def _suite(max_per_type: int = 1):
     return picked
 
 
+def _frozen_proxy_times() -> dict:
+    """Quiet-box frozen CPU-direct times (scripts/freeze_cpu_baseline.py).
+
+    Preferred over re-measuring: frozen records were taken with the box
+    otherwise idle, matching the reference's measure-once oracle_time
+    protocol (reference: scripts/run_benchmark.py:510-517).
+    """
+    from pathlib import Path
+
+    path = Path(__file__).parent / "results" / "cpu_baseline_times.jsonl"
+    out = {}
+    if path.exists():
+        for line in path.open():
+            try:
+                r = json.loads(line)
+                if r.get("ok"):
+                    out[r["case_id"]] = float(r["t_cpu"])
+            except Exception:
+                continue
+    return out
+
+
 def _cpu_proxy_time(oracle_config) -> float:
     """Time the host-CPU direct-solve path on the same case."""
     import os
@@ -86,6 +108,7 @@ def main():
 
     suite = _suite()
     solver = OracleSolver()
+    frozen = _frozen_proxy_times()
     results = []
     for case in suite:
         oc = case["oracle_config"]
@@ -97,10 +120,12 @@ def main():
         except Exception as e:  # report but keep benching other types
             print(f"# {case['id']}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
             continue
-        try:
-            t_cpu = _cpu_proxy_time(oc)
-        except Exception:
-            t_cpu = float("nan")
+        t_cpu = frozen.get(case["id"], float("nan"))
+        if not (t_cpu == t_cpu):  # not frozen: measure in-process
+            try:
+                t_cpu = _cpu_proxy_time(oc)
+            except Exception:
+                t_cpu = float("nan")
         results.append(
             {
                 "id": case["id"],
