@@ -103,6 +103,17 @@ def main():
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    # persistent compile cache (wall-time only — baseline_time already
+    # excludes compiles); harmless where the backend can't serialize
+    from pathlib import Path
+
+    cache = os.environ.get(
+        "PDEBENCH_TPU_COMPILE_CACHE",
+        str(Path(__file__).parent / ".jax_compile_cache"),
+    )
+    if Path(cache).is_dir():
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from pdebench_tpu.oracle import OracleSolver
 
