@@ -321,17 +321,54 @@ class NavierStokesSolver:
             _ns_inner = int(
                 os.environ.get("PDEBENCH_TPU_NS_INNER_ITERS", "40")
             )
-            # Convection-aware M (the round-3 named fix): the Stokes
-            # V-cycle alone gains ~0.1 digit/restart on the CONVECTED
-            # Jacobian. Wrap it in damped block-Jacobi smoothing with
-            # the TRUE per-step Jacobian block stencil (pre + post), so
-            # the convection (incl. its cross-component coupling, which
-            # the scalar per-component V-cycle cannot represent) enters
-            # the preconditioner at the fine level. Cost: ~3 extra
-            # block-stencil applies per M application.
-            _conv_m = (
-                os.environ.get("PDEBENCH_TPU_NS_CONV_M", "1") == "1"
-            )
+            # Convection-aware M modes (PDEBENCH_TPU_NS_CONV_M):
+            #   "hier" — rebuild the WHOLE block-GMG hierarchy from the
+            #     convected per-step Jacobian inside the jit (traced
+            #     Galerkin coarsening, solvers/gmg_dyn.py): the V-cycle
+            #     then contracts on the TRUE operator at every scale,
+            #     not just the fine level.
+            #   "1" — fine-level damped block-Jacobi smoothing around
+            #     the Stokes V-cycle (the round-3 initial fix; gains
+            #     ~0.1 digit/restart only).
+            #   "0" — plain Stokes V-cycle M.
+            _conv_mode = os.environ.get("PDEBENCH_TPU_NS_CONV_M", "1")
+            _conv_m = _conv_mode == "1"
+            _hier_spec = None
+            if _conv_mode == "hier":
+                from ..solvers.gmg_dyn import build_dyn_block_spec
+                from ..solvers.stencil import constrain_stencil_weights
+
+                # node mask on the velocity lattice (absent masked-
+                # lattice sites count as constrained)
+                _node_mask = (
+                    np.asarray(ctx.mask)[: V.ndof].reshape(-1, dim).any(
+                        axis=1
+                    )
+                )
+                _mask_lat = sst.lat_u.embed_np(_node_mask, True).reshape(
+                    sst.fine
+                )
+                # probe omegas on the constrained STOKES block weights
+                # (same adjacency; diffusion sets the Jacobi spectrum)
+                _W_probe = constrain_stencil_weights(
+                    nu * sst.wmapA.weights_np(np.asarray(A1_loc)),
+                    sst.wmapA.offsets,
+                    _mask_lat,
+                    d=dim,
+                )
+                _hier_spec = build_dyn_block_spec(
+                    sst.wmapA.offsets, sst.fine, dim, probe_W=_W_probe
+                )
+                if _hier_spec is None:
+                    _conv_m = True  # fall back to the fine smoother
+                else:
+                    _keep_node32 = jnp.asarray(
+                        1.0 - _mask_lat.astype(np.float32)
+                    )
+                    _eye32 = jnp.eye(dim, dtype=jnp.float32)
+                    _hier_cycles = int(
+                        os.environ.get("PDEBENCH_TPU_NS_HIER_VCYCLES", "1")
+                    )
             _dim0 = len(sst.fine)
             _k0 = sst.wmapA.offsets.index((0,) * _dim0)
             # per-(site, component) free mask on the velocity lattice
@@ -410,6 +447,49 @@ class NavierStokesSolver:
 
                 return M32c
 
+            def _make_hier_M(WA32):
+                """Block lower-triangular saddle M whose velocity solve
+                is a V-cycle on the hierarchy Galerkin-coarsened from
+                the CONVECTED per-step Jacobian (traced, gmg_dyn)."""
+                from ..solvers.gmg_dyn import (
+                    constrain_block_weights_traced,
+                )
+
+                WA32c = constrain_block_weights_traced(
+                    WA32, sst.wmapA.offsets, _keep_node32, _eye32
+                )
+                lv = _hier_spec.build_levels(WA32c)
+                sp0 = _hier_spec.levels[0]
+
+                def M32c(r32):
+                    ru, rp = r32[: V.ndof], r32[V.ndof :]
+                    r_lat = (
+                        sst.blat.embed(ru, 0.0).reshape(
+                            sst.fine + (dim,)
+                        )
+                        * _keep_node32[..., None]
+                    )
+                    x = _hier_spec.vcycle(lv, r_lat)
+                    for _ in range(_hier_cycles - 1):
+                        res = r_lat - _apply_hier(lv[0][0], sp0, x)
+                        x = x + _hier_spec.vcycle(lv, res)
+                    zu = sst.blat.extract(x.reshape(-1))
+                    gt = sst.applyGT(sst.WGT32, x).reshape(-1)[
+                        sst._pinv
+                    ]
+                    zp = -parts.inv_p.astype(jnp.float32) * (rp - gt)
+                    out = jnp.concatenate([zu, zp])
+                    return jnp.where(parts.mask_full, r32, out)
+
+                return M32c
+
+            def _apply_hier(W0, sp0, x):
+                from ..solvers.gmg_dyn import _apply_block_w
+
+                return _apply_block_w(
+                    W0, sp0.offsets, sp0.pad, sp0.shape, x
+                )
+
             def _lin_solve(Ju, rhs, eta):
                 """Traceable saddle solve (FGMRES-IR, f32 inner) to a
                 (possibly traced) relative tolerance eta."""
@@ -419,7 +499,9 @@ class NavierStokesSolver:
                     WA32 = WA64.astype(jnp.float32)
                     apply64 = sst.saddle_apply_w(WA64)
                     apply32 = sst.saddle_apply_w(WA32)
-                    if _conv_m:
+                    if _hier_spec is not None:
+                        M32_use = _make_hier_M(WA32)
+                    elif _conv_m:
                         M32_use = _make_conv_M(WA32)
                 else:
                     apply64 = mixed.saddle_apply(
