@@ -369,6 +369,23 @@ class NavierStokesSolver:
                     _hier_cycles = int(
                         os.environ.get("PDEBENCH_TPU_NS_HIER_VCYCLES", "1")
                     )
+                    # one Pallas launch per M application instead of
+                    # ~dozens of XLA ops per level (the saddle FGMRES
+                    # is latency-bound on the remote-TPU platform)
+                    _hier_fused = None
+                    if _on_tpu and os.environ.get(
+                        "PDEBENCH_TPU_NS_HIER_FUSED", "1"
+                    ) == "1":
+                        try:
+                            from ..solvers.gmg_fused import (
+                                build_fused_dyn_block_vcycle,
+                            )
+
+                            _hier_fused = build_fused_dyn_block_vcycle(
+                                _hier_spec, n_cycles=_hier_cycles
+                            )
+                        except Exception:
+                            _hier_fused = None
             _dim0 = len(sst.fine)
             _k0 = sst.wmapA.offsets.index((0,) * _dim0)
             # per-(site, component) free mask on the velocity lattice
@@ -469,10 +486,15 @@ class NavierStokesSolver:
                         )
                         * _keep_node32[..., None]
                     )
-                    x = _hier_spec.vcycle(lv, r_lat)
-                    for _ in range(_hier_cycles - 1):
-                        res = r_lat - _apply_hier(lv[0][0], sp0, x)
-                        x = x + _hier_spec.vcycle(lv, res)
+                    if _hier_fused is not None:
+                        x = _hier_fused(
+                            r_lat.reshape(-1), lv
+                        ).reshape(sst.fine + (dim,))
+                    else:
+                        x = _hier_spec.vcycle(lv, r_lat)
+                        for _ in range(_hier_cycles - 1):
+                            res = r_lat - _apply_hier(lv[0][0], sp0, x)
+                            x = x + _hier_spec.vcycle(lv, res)
                     zu = sst.blat.extract(x.reshape(-1))
                     gt = sst.applyGT(sst.WGT32, x).reshape(-1)[
                         sst._pinv

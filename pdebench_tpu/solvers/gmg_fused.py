@@ -751,6 +751,239 @@ def build_fused_block_inner_cg(
 
 
 # ---------------------------------------------------------------------------
+# dynamic-weight block V-cycle — per-Newton-step convected hierarchies
+# ---------------------------------------------------------------------------
+
+
+def build_fused_dyn_block_vcycle(
+    spec,
+    n_cycles: int = 1,
+    vmem_budget=60_000_000,
+    interpret: bool = False,
+):
+    """Fused Richardson chain of V-cycles on a BLOCK hierarchy whose
+    weights are CALL-TIME arguments — the kernel twin of
+    gmg_dyn.DynBlockHierarchySpec.vcycle, for per-Newton-step convected
+    Jacobian hierarchies (solvers/gmg_dyn.py builds the level weights
+    in-trace; this runs the whole V-cycle in ONE Pallas launch instead
+    of the ~dozens of XLA ops per level that make the saddle FGMRES
+    latency-bound on the remote-TPU platform).
+
+    Scope: 2-D, d == 2, pure-halving hierarchies (no identity padding),
+    VMEM-bounded. Returns fn(r_flat, Ws, Dinvs) -> z_flat where r_flat
+    is the (ny*nx*d) block-lattice vector (site-major, component-minor),
+    Ws/Dinvs the per-level traced weight stacks from spec.build_levels
+    layouts ((K, ny, nx, d, d) / (ny, nx, d, d)); or None if out of
+    scope."""
+    if not _HAS_PLTPU:
+        return None
+    if spec is None or spec.d != 2:
+        return None
+    if any(sp.pad_to is not None for sp in spec.levels):
+        return None
+    if any(len(sp.shape) != 2 for sp in spec.levels):
+        return None
+
+    n_lv = len(spec.levels)
+    d = spec.d
+    # padded per-level layouts (shared x padding keeps specs simple)
+    nyps, nxps = [], []
+    for sp in spec.levels:
+        ny, nx = sp.shape
+        nyps.append(_ru(ny + sp.pad, 8))
+        nxps.append(_ru(nx + sp.pad, 128))
+
+    # transfer bands per level pair
+    Bry, Brx, Bpy, Bpx = [], [], [], []
+    for i in range(n_lv - 1):
+        fy, fx = spec.levels[i].shape
+        by = np.zeros((nyps[i + 1], nyps[i]), np.float32)
+        by[: (fy - 1) // 2 + 1, :fy] = _restrict_band(fy)
+        bx = np.zeros((nxps[i + 1], nxps[i]), np.float32)
+        bx[: (fx - 1) // 2 + 1, :fx] = _restrict_band(fx)
+        py = np.zeros((nyps[i], nyps[i + 1]), np.float32)
+        py[:fy, : (fy - 1) // 2 + 1] = _prolong_band(fy)
+        px = np.zeros((nxps[i], nxps[i + 1]), np.float32)
+        px[:fx, : (fx - 1) // 2 + 1] = _prolong_band(fx)
+        Bry.append(by)
+        Brx.append(bx)
+        Bpy.append(py)
+        Bpx.append(px)
+
+    total = sum(b.nbytes for bl in (Bry, Brx, Bpy, Bpx) for b in bl)
+    for i, sp in enumerate(spec.levels):
+        K = len(sp.offsets)
+        total += (K * d * d + d * d) * nyps[i] * nxps[i] * 4
+    total += 10 * d * nyps[0] * nxps[0] * 4
+    if total > vmem_budget:
+        return None
+
+    meta = [
+        dict(
+            offsets=[tuple(int(v) for v in o) for o in sp.offsets],
+            nyp=nyps[i], nxp=nxps[i], ny=sp.shape[0], nx=sp.shape[1],
+        )
+        for i, sp in enumerate(spec.levels)
+    ]
+    sweeps = int(getattr(spec, "coarse_sweeps", 10))
+
+    def _roll2(t, dy, dx, l):
+        sy = (-dy) % meta[l]["nyp"]
+        if sy:
+            t = pltpu.roll(t, jnp.int32(sy), axis=0)
+        sx = (-dx) % meta[l]["nxp"]
+        if sx:
+            t = pltpu.roll(t, jnp.int32(sx), axis=1)
+        return t
+
+    def _apply_b(l, W, u0, u1):
+        o0 = None
+        o1 = None
+        for k, (dy, dx) in enumerate(meta[l]["offsets"]):
+            t0 = _roll2(u0, dy, dx, l)
+            t1 = _roll2(u1, dy, dx, l)
+            c0 = W[k, 0, 0] * t0 + W[k, 0, 1] * t1
+            c1 = W[k, 1, 0] * t0 + W[k, 1, 1] * t1
+            o0 = c0 if o0 is None else o0 + c0
+            o1 = c1 if o1 is None else o1 + c1
+        return o0, o1
+
+    def _kernel(*refs):
+        # refs: r0, r1, W_0.., D_0.., Bry.., Brx.., Bpy.., Bpx..,
+        #       out0, out1
+        r0_ref, r1_ref = refs[0], refs[1]
+        Ws = refs[2 : 2 + n_lv]
+        Ds = refs[2 + n_lv : 2 + 2 * n_lv]
+        k0 = 2 + 2 * n_lv
+        m = n_lv - 1
+        By = [b[:, :] for b in refs[k0 : k0 + m]]
+        Bx = [b[:, :] for b in refs[k0 + m : k0 + 2 * m]]
+        Py = [b[:, :] for b in refs[k0 + 2 * m : k0 + 3 * m]]
+        Px = [b[:, :] for b in refs[k0 + 3 * m : k0 + 4 * m]]
+        out0_ref = refs[k0 + 4 * m]
+        out1_ref = refs[k0 + 4 * m + 1]
+
+        W = [w[:, :, :, :, :] for w in Ws]
+        D = [dd[:, :, :, :] for dd in Ds]
+
+        def smooth(l, r0, r1):
+            return (
+                D[l][0, 0] * r0 + D[l][0, 1] * r1,
+                D[l][1, 0] * r0 + D[l][1, 1] * r1,
+            )
+
+        def mm(Bl, Bt, u):
+            return jnp.dot(
+                Bl, jnp.dot(u, Bt.T, preferred_element_type=jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+
+        def vcycle(l, r0, r1):
+            x0, x1 = smooth(l, r0, r1)
+            if l == n_lv - 1:
+                for _ in range(sweeps - 1):
+                    a0, a1 = _apply_b(l, W[l], x0, x1)
+                    s0, s1 = smooth(l, r0 - a0, r1 - a1)
+                    x0, x1 = x0 + s0, x1 + s1
+                return x0, x1
+            a0, a1 = _apply_b(l, W[l], x0, x1)
+            rc0 = mm(By[l], Bx[l], r0 - a0)
+            rc1 = mm(By[l], Bx[l], r1 - a1)
+            xc0, xc1 = vcycle(l + 1, rc0, rc1)
+            x0 = x0 + mm(Py[l], Px[l], xc0)
+            x1 = x1 + mm(Py[l], Px[l], xc1)
+            a0, a1 = _apply_b(l, W[l], x0, x1)
+            s0, s1 = smooth(l, r0 - a0, r1 - a1)
+            return x0 + s0, x1 + s1
+
+        r0 = r0_ref[:, :]
+        r1 = r1_ref[:, :]
+        z0, z1 = vcycle(0, r0, r1)
+        for _ in range(n_cycles - 1):
+            a0, a1 = _apply_b(0, W[0], z0, z1)
+            s0, s1 = vcycle(0, r0 - a0, r1 - a1)
+            z0, z1 = z0 + s0, z1 + s1
+        out0_ref[:, :] = z0
+        out1_ref[:, :] = z1
+
+    band_args = (
+        [jnp.asarray(b) for b in Bry]
+        + [jnp.asarray(b) for b in Brx]
+        + [jnp.asarray(b) for b in Bpy]
+        + [jnp.asarray(b) for b in Bpx]
+    )
+    zero2 = lambda: (jnp.int32(0), jnp.int32(0))
+    zero4 = lambda: (jnp.int32(0),) * 4
+    zero5 = lambda: (jnp.int32(0),) * 5
+    in_specs = [
+        pl.BlockSpec((nyps[0], nxps[0]), zero2),
+        pl.BlockSpec((nyps[0], nxps[0]), zero2),
+    ]
+    for i, sp in enumerate(spec.levels):
+        K = len(sp.offsets)
+        in_specs.append(
+            pl.BlockSpec((K, d, d, nyps[i], nxps[i]), zero5)
+        )
+    for i in range(n_lv):
+        in_specs.append(
+            pl.BlockSpec((d, d, nyps[i], nxps[i]), zero4)
+        )
+    for b in band_args:
+        in_specs.append(pl.BlockSpec(b.shape, zero2))
+
+    call = pl.pallas_call(
+        _kernel,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((nyps[0], nxps[0]), zero2),
+            pl.BlockSpec((nyps[0], nxps[0]), zero2),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nyps[0], nxps[0]), jnp.float32),
+            jax.ShapeDtypeStruct((nyps[0], nxps[0]), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=_tpu_params(),
+    )
+
+    ny0, nx0 = spec.levels[0].shape
+
+    def _pack_W(i, Wl):
+        # (K, ny, nx, d, d) -> (K, d, d, nyp, nxp) zero-padded
+        Wt = jnp.moveaxis(Wl.astype(jnp.float32), (3, 4), (1, 2))
+        ny, nx = spec.levels[i].shape
+        return jnp.pad(
+            Wt,
+            (
+                (0, 0), (0, 0), (0, 0),
+                (0, nyps[i] - ny), (0, nxps[i] - nx),
+            ),
+        )
+
+    def _pack_D(i, Dl):
+        Dt = jnp.moveaxis(Dl.astype(jnp.float32), (2, 3), (0, 1))
+        ny, nx = spec.levels[i].shape
+        return jnp.pad(
+            Dt,
+            ((0, 0), (0, 0), (0, nyps[i] - ny), (0, nxps[i] - nx)),
+        )
+
+    def inner(r_flat: jnp.ndarray, levels) -> jnp.ndarray:
+        """levels = spec.build_levels(W0): [(W, Dinv)] traced pairs."""
+        r3 = r_flat.reshape(ny0, nx0, d).astype(jnp.float32)
+        pads = ((0, nyps[0] - ny0), (0, nxps[0] - nx0))
+        r0 = jnp.pad(r3[:, :, 0], pads)
+        r1 = jnp.pad(r3[:, :, 1], pads)
+        Wargs = [_pack_W(i, Wl) for i, (Wl, _) in enumerate(levels)]
+        Dargs = [_pack_D(i, Dl) for i, (_, Dl) in enumerate(levels)]
+        z0, z1 = call(r0, r1, *Wargs, *Dargs, *band_args)
+        z = jnp.stack([z0[:ny0, :nx0], z1[:ny0, :nx0]], axis=-1)
+        return z.reshape(-1)
+
+    return inner
+
+
+# ---------------------------------------------------------------------------
 # fused GMRES inner — nonsymmetric/indefinite lattices (convdiff, helmholtz)
 # ---------------------------------------------------------------------------
 

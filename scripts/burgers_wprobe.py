@@ -16,6 +16,13 @@ import time
 import jax
 
 jax.config.update("jax_enable_x64", True)
+if os.environ.get("PDEBENCH_TPU_COMPILE_CACHE"):
+    os.makedirs(os.environ["PDEBENCH_TPU_COMPILE_CACHE"], exist_ok=True)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ["PDEBENCH_TPU_COMPILE_CACHE"],
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax.numpy as jnp

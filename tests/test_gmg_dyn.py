@@ -173,3 +173,40 @@ def test_dyn_spec_handles_even_axis_identity_padding():
     r = jnp.ones(shape + (d,), jnp.float32)
     z = spec.vcycle(lv, r)
     assert z.shape == r.shape and bool(jnp.all(jnp.isfinite(z)))
+
+
+def test_fused_dyn_block_vcycle_matches_xla():
+    """The dynamic-weight fused block V-cycle kernel (interpret mode)
+    must match gmg_dyn's XLA V-cycle on the same traced levels."""
+    from pdebench_tpu.solvers.gmg_fused import build_fused_dyn_block_vcycle
+    from pdebench_tpu.solvers.stencil import constrain_stencil_weights
+
+    shape, d = (17, 17), 2
+    W, offs = _random_block_stencil(shape, d, pad=2, seed=21)
+    mask = np.zeros(shape, dtype=bool)
+    mask[0] = mask[-1] = True
+    mask[:, 0] = mask[:, -1] = True
+    Wc = constrain_stencil_weights(W, offs, mask, d=d)
+    spec = gmg_dyn.build_dyn_block_spec(
+        offs, shape, d, probe_W=Wc, coarse_size=100
+    )
+    assert spec is not None and len(spec.levels) >= 2
+    fused = build_fused_dyn_block_vcycle(spec, n_cycles=2, interpret=True)
+    assert fused is not None
+
+    W32 = jnp.asarray(Wc, jnp.float32)
+    lv = spec.build_levels(W32)
+    rng = np.random.default_rng(2)
+    r = jnp.asarray(
+        rng.standard_normal(int(np.prod(shape)) * d), jnp.float32
+    )
+    z_xla = spec.vcycle(lv, r.reshape(shape + (d,)))
+    r3 = r.reshape(shape + (d,))
+    res = r3 - gmg_dyn._apply_block_w(
+        lv[0][0], offs, 2, shape, z_xla
+    )
+    z_xla = (z_xla + spec.vcycle(lv, res)).reshape(-1)
+    z_f = fused(r, lv)
+    np.testing.assert_allclose(
+        np.asarray(z_f), np.asarray(z_xla), rtol=2e-5, atol=2e-5
+    )
