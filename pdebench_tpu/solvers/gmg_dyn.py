@@ -123,21 +123,46 @@ def coarsen_block_traced(W, offs_c, C, valid, shape_c):
     """Traced Galerkin coarsening of a block stencil.
 
     W: (K, *shape_f, d, d) traced; C/valid: static (as jnp constants).
-    Returns (Oc, *shape_c, d, d)."""
+    Returns (Oc, *shape_c, d, d).
+
+    2-D runs as ONE stride-2 grouped correlation (the K fine planes are
+    input channels, the Oc coarse planes output channels, C the 3x3
+    kernel, the (d, d) block entries the batch) — a single conv op
+    instead of 3^dim * K strided slices per level, which matters for
+    both compile time and launch count inside whole-Newton jits."""
     dim = len(shape_c)
-    pads = [(0, 0)] + [(1, 1)] * dim + [(0, 0), (0, 0)]
-    Wp = jnp.pad(W, pads)
     K, d = W.shape[0], W.shape[-1]
-    taps = []
-    for a in _taps(dim):
-        start = (0,) + tuple(1 + ai for ai in a) + (0, 0)
-        limit = (K,) + tuple(
-            1 + ai + 2 * (sc - 1) + 1 for ai, sc in zip(a, shape_c)
-        ) + (d, d)
-        strides = (1,) + (2,) * dim + (1, 1)
-        taps.append(jax.lax.slice(Wp, start, limit, strides))
-    S = jnp.stack(taps, axis=1)
-    Wc = jnp.einsum("oka,ka...->o...", jnp.asarray(C, W.dtype), S)
+    Oc = len(offs_c)
+    if dim == 2:
+        ny_c, nx_c = shape_c
+        # (K, ny, nx, d, d) -> (d*d, K, ny, nx) batch-of-channels
+        Wb = jnp.moveaxis(W, (3, 4), (0, 1)).reshape(
+            d * d, K, W.shape[1], W.shape[2]
+        )
+        kern = jnp.asarray(
+            np.asarray(C).reshape(Oc, K, 3, 3), W.dtype
+        )
+        out = jax.lax.conv_general_dilated(
+            Wb.astype(W.dtype), kern,
+            window_strides=(2, 2), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )  # (d*d, Oc, ny_c, nx_c)
+        Wc = jnp.moveaxis(
+            out.reshape(d, d, Oc, ny_c, nx_c), (0, 1), (3, 4)
+        )
+    else:
+        pads = [(0, 0)] + [(1, 1)] * dim + [(0, 0), (0, 0)]
+        Wp = jnp.pad(W, pads)
+        taps = []
+        for a in _taps(dim):
+            start = (0,) + tuple(1 + ai for ai in a) + (0, 0)
+            limit = (K,) + tuple(
+                1 + ai + 2 * (sc - 1) + 1 for ai, sc in zip(a, shape_c)
+            ) + (d, d)
+            strides = (1,) + (2,) * dim + (1, 1)
+            taps.append(jax.lax.slice(Wp, start, limit, strides))
+        S = jnp.stack(taps, axis=1)
+        Wc = jnp.einsum("oka,ka...->o...", jnp.asarray(C, W.dtype), S)
     return Wc * jnp.asarray(valid, W.dtype)[(...,) + (None,) * 2]
 
 
