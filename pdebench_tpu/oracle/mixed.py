@@ -250,6 +250,15 @@ class SaddlePrecondParts:
     mask_full: jnp.ndarray
     nu_dofs: int
     ncomp: int
+    # optional POLYNOMIAL pressure-mass Schur solve: Mp_solve(r_p) ~=
+    # nu * Mp^{-1} r_p via a degree-3 Chebyshev in the Jacobi-scaled
+    # mass stencil (3 coarse-lattice stencil applies; SPD in the D
+    # inner product, so valid inside MINRES too). None when the
+    # pressure dofs don't form a lattice. The diagonal inv_p stays the
+    # fallback: diag(Mp) alone leaves a kappa(D^-1 Mp) ~ 5-10 error in
+    # the Schur block, which round-3 measured as the saddle iteration
+    # limiter (not the velocity V-cycle).
+    Mp_solve: Optional[Callable] = None
 
 
 def saddle_gmg_precond_parts(
@@ -260,6 +269,7 @@ def saddle_gmg_precond_parts(
     dofmap_p: jnp.ndarray,
     np_dofs: int,
     mask: jnp.ndarray,
+    q_space: Optional[FunctionSpace] = None,
 ) -> Optional[SaddlePrecondParts]:
     """Stencil-GMG block preconditioner for structured-mesh Stokes.
 
@@ -336,6 +346,12 @@ def saddle_gmg_precond_parts(
     )
     mask_full = jnp.asarray(mask_np)
 
+    Mp_solve = None
+    if q_space is not None:
+        Mp_solve = _pressure_mass_chebyshev(
+            q_space, cb, psi, nu_visc, np.asarray(mask_np[nu_dofs:])
+        )
+
     def Mv(ru_flat):
         ru = ru_flat.reshape(-1, d)
         comps = []
@@ -348,7 +364,86 @@ def saddle_gmg_precond_parts(
             comps.append(zc.astype(ru_flat.dtype))
         return jnp.stack(comps, axis=1).reshape(-1)
 
-    return SaddlePrecondParts(Mv, inv_p, mask_full, nu_dofs, d)
+    return SaddlePrecondParts(Mv, inv_p, mask_full, nu_dofs, d, Mp_solve)
+
+
+def _pressure_mass_chebyshev(
+    Q, cb: CellBatch, psi: jnp.ndarray, nu_visc: float, mask_p: np.ndarray
+) -> Optional[Callable]:
+    """Traced f32 polynomial pressure-mass solve: r_p -> ~nu * Mp^{-1} r_p.
+
+    Builds the pressure-lattice mass stencil host-side, estimates the
+    Jacobi-scaled spectrum bounds by power iteration, and fits a
+    degree-3 Chebyshev inverse (solvers.krylov.chebyshev_inverse_coeffs;
+    residual factor ~0.1 at kappa ~ 8). Returns None off-lattice."""
+    from ..solvers.gmg import _apply_stencil_np
+    from ..solvers.krylov import chebyshev_inverse_coeffs
+    from ..solvers.stencil import (
+        constrain_stencil_weights,
+        detect_lattice,
+        lattice_weight_map,
+    )
+
+    lat_p = detect_lattice(Q.dof_coords)
+    if lat_p is None:
+        return None
+    wm = lattice_weight_map(lat_p, Q.dofmap_scalar)
+    if wm is None:
+        return None
+    Mp_loc = np.einsum(
+        "qi,qj,cq->cij",
+        np.asarray(psi),
+        np.asarray(psi),
+        np.asarray(cb.wdetJ),
+    )
+    WMp = wm.weights_np(Mp_loc)
+    mask_lat = lat_p.embed_np(mask_p.astype(bool), True).reshape(wm.shape)
+    WMp = constrain_stencil_weights(WMp, wm.offsets, mask_lat)
+    diag = None
+    for k, off in enumerate(wm.offsets):
+        if all(o == 0 for o in off):
+            diag = WMp[k]
+    dinv_np = 1.0 / np.where(np.abs(diag) > 1e-300, diag, 1.0)
+    # spectrum bounds of D^-1 Mp by power iteration (host, tiny lattice)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(wm.shape)
+    lmax = 1.0
+    for _ in range(30):
+        x = dinv_np * _apply_stencil_np(WMp, wm.offsets, x)
+        n = np.linalg.norm(x)
+        if n == 0:
+            return None
+        lmax, x = n, x / n
+    shift = 1.02 * lmax
+    x = rng.standard_normal(wm.shape)
+    lsh = shift
+    for _ in range(40):
+        x = shift * x - dinv_np * _apply_stencil_np(WMp, wm.offsets, x)
+        n = np.linalg.norm(x)
+        if n == 0:
+            return None
+        lsh, x = n, x / n
+    lmin = max(shift - lsh, 1e-6 * lmax)
+    coeffs, _ = chebyshev_inverse_coeffs(
+        0.95 * lmin, 1.05 * lmax, 4
+    )
+    cs = [float(c) for c in coeffs]
+
+    W32 = jnp.asarray(WMp, dtype=jnp.float32)
+    dinv32 = jnp.asarray(dinv_np, dtype=jnp.float32)
+    emb, inv_j = lat_p, jnp.asarray(lat_p.inv, dtype=jnp.int32)
+    shape = wm.shape
+    nu32 = jnp.float32(nu_visc)
+
+    def solve(r_p):
+        r_lat = emb.embed(r_p.astype(jnp.float32), 0.0).reshape(shape)
+        br = dinv32 * r_lat
+        z = cs[-1] * br
+        for c in reversed(cs[:-1]):
+            z = dinv32 * wm.apply_grid(W32, z) + jnp.float32(c) * br
+        return (nu32 * z).reshape(-1)[inv_j].astype(r_p.dtype)
+
+    return solve
 
 
 def saddle_gmg_precond(

@@ -150,7 +150,8 @@ class NavierStokesSolver:
         if use_dev_init or use_dev_newton:
             try:
                 parts = mixed.saddle_gmg_precond_parts(
-                    V, nu, cb, ctx.psi, dofmap_p, Q.ndof, ctx.mask
+                    V, nu, cb, ctx.psi, dofmap_p, Q.ndof, ctx.mask,
+                    q_space=Q,
                 )
             except Exception:
                 parts = None
@@ -167,12 +168,31 @@ class NavierStokesSolver:
             inv_p64 = parts.inv_p
             inv_p32 = parts.inv_p.astype(jnp.float32)
             mask_full = parts.mask_full
+            # Chebyshev pressure-mass Schur (SPD in the D inner
+            # product, MINRES-safe), PDEBENCH_TPU_NS_SCHUR=mass. OPT-IN:
+            # the round-3 CPU A/B on navier_stokes_basic measured no win
+            # (old M 720/720 its diag/mass; hier M 800 -> 1360) — the
+            # lumped diagonal is apparently as good a Schur for these
+            # operators, so the extra 3 stencil applies stay off by
+            # default pending a case where the mass solve matters.
+            _schur_mass = (
+                os.environ.get("PDEBENCH_TPU_NS_SCHUR", "diag") == "mass"
+                and parts.Mp_solve is not None
+            )
+
+            def _schur32(rp):
+                if _schur_mass:
+                    return parts.Mp_solve(rp)
+                return inv_p32 * rp
+
+            def _schur64(rp):
+                if _schur_mass:
+                    return parts.Mp_solve(rp)
+                return inv_p64.astype(rp.dtype) * rp
 
             def M_init(r):  # block-diagonal, SPD — for MINRES
                 zu = parts.Mv(r[: V.ndof])
-                out = jnp.concatenate(
-                    [zu, inv_p64.astype(r.dtype) * r[V.ndof :]]
-                )
+                out = jnp.concatenate([zu, _schur64(r[V.ndof :])])
                 return jnp.where(mask_full, r, out)
 
             _tri_env = os.environ.get("PDEBENCH_TPU_NS_TRI_M", "1")
@@ -187,7 +207,7 @@ class NavierStokesSolver:
                     gt = sst.applyGT(sst.WGT32, u_lat).reshape(-1)[
                         sst._pinv
                     ]
-                    zp = -inv_p32 * (rp - gt)
+                    zp = -_schur32(rp - gt)
                     out = jnp.concatenate([zu, zp])
                     return jnp.where(mask_full, r32, out)
 
@@ -195,7 +215,9 @@ class NavierStokesSolver:
 
                 def M32_newton(r32):  # block-diagonal (no G^T stencil)
                     zu = parts.Mv(r32[: V.ndof])
-                    out = jnp.concatenate([zu, inv_p32 * r32[V.ndof :]])
+                    out = jnp.concatenate(
+                        [zu, _schur32(r32[V.ndof :])]
+                    )
                     return jnp.where(mask_full, r32, out)
 
         # MINRES-IR Stokes init (round-2 path): kept as the fallback
@@ -458,7 +480,7 @@ class NavierStokesSolver:
                     gt = sst.applyGT(sst.WGT32, x).reshape(-1)[
                         sst._pinv
                     ]
-                    zp = -parts.inv_p.astype(jnp.float32) * (rp - gt)
+                    zp = -_schur32(rp - gt)
                     out = jnp.concatenate([zu, zp])
                     return jnp.where(parts.mask_full, r32, out)
 
@@ -499,7 +521,7 @@ class NavierStokesSolver:
                     gt = sst.applyGT(sst.WGT32, x).reshape(-1)[
                         sst._pinv
                     ]
-                    zp = -parts.inv_p.astype(jnp.float32) * (rp - gt)
+                    zp = -_schur32(rp - gt)
                     out = jnp.concatenate([zu, zp])
                     return jnp.where(parts.mask_full, r32, out)
 

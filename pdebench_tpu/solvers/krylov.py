@@ -559,3 +559,42 @@ def jacobi_preconditioner(diag: jnp.ndarray) -> Callable:
     safe = jnp.where(jnp.abs(diag) > 1e-300, diag, 1.0)
     inv = 1.0 / safe
     return lambda r: inv * r
+
+
+def chebyshev_inverse_coeffs(a: float, b: float, n: int):
+    """Monomial coefficients (lowest degree first) of the degree-(n-1)
+    Chebyshev approximation p(lam) ~ 1/lam on [a, b]: the residual
+    1 - lam p(lam) equals T_n(t(lam)) / T_n(t(0)) with t the affine map
+    of [a, b] onto [-1, 1], the minimax residual polynomial. p > 0 on
+    [a, b], so q(A) = p(D^-1 A) D^-1 is SPD for SPD A (usable inside
+    MINRES preconditioners). Max residual factor returned for logging.
+    """
+    import numpy as _np
+
+    nodes = _np.cos(_np.pi * (_np.arange(n) + 0.5) / n)
+    lam = (b + a) / 2 + (b - a) / 2 * nodes
+    t0 = (b + a) / (b - a)
+    Tn0 = _np.cosh(n * _np.arccosh(t0))
+    resid = _np.cos(n * _np.arccos(nodes)) / Tn0
+    pvals = (1.0 - resid) / lam
+    # exact interpolation through the n nodes (p has degree n-1)
+    coeffs = _np.polyfit(lam, pvals, n - 1)[::-1]
+    return coeffs, float(1.0 / Tn0)
+
+
+def polynomial_solver(apply_A: Callable, dinv: jnp.ndarray, coeffs):
+    """z ~= A^{-1} r from the Chebyshev coefficients: Horner in the
+    Jacobi-scaled operator B = dinv * A, z = p(B) (dinv r). len(coeffs)-1
+    applications of A per call; symmetric in the D inner product."""
+    import numpy as _np
+
+    cs = [float(c) for c in _np.asarray(coeffs)]
+
+    def solve(r):
+        br = dinv * r
+        z = cs[-1] * br
+        for c in reversed(cs[:-1]):
+            z = dinv * apply_A(z) + c * br
+        return z
+
+    return solve

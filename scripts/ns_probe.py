@@ -16,6 +16,11 @@ os.environ.setdefault("PDEBENCH_TPU_WARM_REPEATS", "3")
 import jax
 
 jax.config.update("jax_enable_x64", True)
+if os.environ.get("PDEBENCH_TPU_MATMUL_PREC"):
+    jax.config.update(
+        "jax_default_matmul_precision",
+        os.environ["PDEBENCH_TPU_MATMUL_PREC"],
+    )
 if os.environ.get("PDEBENCH_TPU_COMPILE_CACHE"):
     os.makedirs(os.environ["PDEBENCH_TPU_COMPILE_CACHE"], exist_ok=True)
     jax.config.update(
