@@ -150,7 +150,24 @@ class BurgersSolver:
             # rebuild the dense bilinear plane stack in-trace from the
             # small compressed parts (tile + boundary bands): shipping
             # the dense ~50 MB stack through the axon tunnel cost ~1.5 s
-            P_adv = bwm.P_dense(P_parts) if bwm is not None else None
+            # (tiled mode never materializes the dense stack at all —
+            # the per-step build multiplies taps by the VMEM-resident
+            # phase tile; PLAN_r3 #2. OPT-IN after the round-3 quiet
+            # TPU A/B measured the scan segment LOSING 8%: 0.764 s vs
+            # 0.705 s dense on burgers_square_v1 — the blockwise
+            # (ny/r, r, nx/r, r) reshape relayout costs more than the
+            # dense-P reads it saves; weights are bit-identical.)
+            _tiled = os.environ.get("PDEBENCH_TPU_WBUILD", "dense") == "tiled"
+            P_adv = (
+                None
+                if (bwm is None or _tiled)
+                else bwm.P_dense(P_parts)
+            )
+
+            def _step_weights(u_lat32):
+                if _tiled:
+                    return bwm.weights_w_parts(P_parts, u_lat32)
+                return bwm.weights_w(P_adv, u_lat32)
             # per-step load vectors and Dirichlet values hoisted OUT of
             # the scan: one batched scatter each replaces num_steps
             # in-scan scatters (TPU scatters serialize — the round-2
@@ -188,7 +205,7 @@ class BurgersSolver:
                         ).reshape(lattice32.shape)
                         sw = (
                             wmap,
-                            W_c32 + bwm.weights_w(P_adv, u_lat32),
+                            W_c32 + _step_weights(u_lat32),
                         )
                     else:
                         sw = (

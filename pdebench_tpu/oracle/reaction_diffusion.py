@@ -208,8 +208,22 @@ class ReactionDiffusionSolver:
         @jax.jit
         def run_scan(M, K, u0_arr, P_parts, W_c32):
             # dense bilinear plane stack rebuilt in-trace from the small
-            # compressed parts (see BilinearLatticeWeightMap.P_dense)
-            P_adv = bwm.P_dense(P_parts) if bwm is not None else None
+            # compressed parts (see BilinearLatticeWeightMap.P_dense);
+            # tiled mode skips the dense stack and builds per-step
+            # weights from the phase tile (PLAN_r3 #2; OPT-IN — the
+            # round-3 burgers TPU A/B measured the tiled scan 8% slower,
+            # see oracle/burgers.py)
+            _tiled = os.environ.get("PDEBENCH_TPU_WBUILD", "dense") == "tiled"
+            P_adv = (
+                None
+                if (bwm is None or _tiled)
+                else bwm.P_dense(P_parts)
+            )
+
+            def _step_weights(v_lat):
+                if _tiled:
+                    return bwm.weights_w_parts(P_parts, v_lat)
+                return bwm.weights_w(P_adv, v_lat)
             inv_dt = 1.0 / dt
             M_ap = apply_M or (lambda v: _apply_local(M, dofmap, ndof, v))
             K_ap = apply_K or (lambda v: _apply_local(K, dofmap, ndof, v))
@@ -280,7 +294,7 @@ class ReactionDiffusionSolver:
                             ).reshape(lattice32.shape)
                             sw = (
                                 wmap,
-                                W_c32 + bwm.weights_w(P_adv, v_lat),
+                                W_c32 + _step_weights(v_lat),
                             )
                         else:
                             sw = (

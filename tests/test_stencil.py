@@ -157,6 +157,11 @@ def test_bilinear_weight_map_matches_scatter():
         W_cmp = np.asarray(bwm.weights_w(jnp.asarray(P_rt), u_lat))
         np.testing.assert_allclose(W_cmp, W_ref, atol=4e-6 * scale)
 
+        # tiled per-step build (no dense-P reads): must match the
+        # dense-stack build bit-for-bit — same products, same order
+        W_tiled = np.asarray(bwm.weights_w_parts(bwm.P_parts, u_lat))
+        np.testing.assert_array_equal(W_tiled, W_cmp)
+
 
 def test_burgers_step_weights_match_cell_path(monkeypatch):
     """Per-step stencil weights (lagged convection) must reproduce the
