@@ -80,7 +80,12 @@ def _frozen_proxy_times() -> dict:
 
 
 def _cpu_proxy_time(oracle_config) -> float:
-    """Time the host-CPU direct-solve path on the same case."""
+    """Time the host-CPU direct-solve path on the same case.
+
+    Kept for scripts/freeze_cpu_baseline.py-style offline use only; the
+    bench loop itself never calls this (a missing frozen value is a loud
+    error, not a live measurement on a contended 1-core box).
+    """
     import os
 
     os.environ["PDEBENCH_TPU_FORCE_DIRECT"] = "1"
@@ -92,6 +97,47 @@ def _cpu_proxy_time(oracle_config) -> float:
         return time.perf_counter() - t0
     finally:
         os.environ.pop("PDEBENCH_TPU_FORCE_DIRECT", None)
+
+
+def _solve_with_retry(solver, oracle_config, case_id, retries: int = 1):
+    """Run solver.solve, retrying once on transient remote-backend errors.
+
+    The axon tunnel occasionally drops a request mid-run ("read body:
+    response body closed", connection resets); round 2 lost biharmonic
+    from the official record to exactly one such flake. A fresh attempt
+    after a short sleep recovers these; real numerical/shape errors are
+    re-raised immediately (they are deterministic and retrying wastes a
+    remote compile).
+    """
+    transient_markers = (
+        "read body",
+        "response body closed",
+        "connection reset",
+        "connection refused",
+        "deadline exceeded",
+        "unavailable",
+        "socket closed",
+        "broken pipe",
+        "eof",
+    )
+    for attempt in range(retries + 1):
+        try:
+            return solver.solve(oracle_config)
+        except Exception as e:
+            name = type(e).__name__
+            msg = str(e).lower()
+            is_transient = (
+                "JaxRuntimeError" in name or "XlaRuntimeError" in name
+            ) and any(m in msg for m in transient_markers)
+            if attempt < retries and is_transient:
+                print(
+                    f"# {case_id}: transient backend error ({name}); "
+                    f"retrying in 10s: {e}",
+                    file=sys.stderr,
+                )
+                time.sleep(10.0)
+                continue
+            raise
 
 
 def main():
@@ -121,22 +167,30 @@ def main():
     solver = OracleSolver()
     frozen = _frozen_proxy_times()
     results = []
+    missing_frozen = []
     for case in suite:
         oc = case["oracle_config"]
         pde_type = oc["pde"]["type"]
         try:
-            r = solver.solve(oc)
+            r = _solve_with_retry(solver, oc, case["id"])
         except (NotImplementedError, ModuleNotFoundError, ImportError):
             continue
         except Exception as e:  # report but keep benching other types
             print(f"# {case['id']}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
             continue
         t_cpu = frozen.get(case["id"], float("nan"))
-        if not (t_cpu == t_cpu):  # not frozen: measure in-process
-            try:
-                t_cpu = _cpu_proxy_time(oc)
-            except Exception:
-                t_cpu = float("nan")
+        if not (t_cpu == t_cpu):
+            # No frozen quiet-box value: fail loudly rather than measure the
+            # CPU proxy in-process on this 1-core box (contention corrupts the
+            # timing and the live value would silently replace the frozen
+            # protocol; see VERDICT r2 weak #2). Freeze it first:
+            #   python scripts/freeze_cpu_baseline.py --cases <id>
+            missing_frozen.append(case["id"])
+            print(
+                f"# {case['id']}: NO FROZEN CPU BASELINE — case excluded from "
+                f"vs_baseline; freeze it with scripts/freeze_cpu_baseline.py",
+                file=sys.stderr,
+            )
         results.append(
             {
                 "id": case["id"],
@@ -174,6 +228,7 @@ def main():
                 "n_cases": len(results),
                 "types": [r["type"] for r in results],
                 "max_error": max(r["error"] for r in results),
+                **({"missing_frozen": missing_frozen} if missing_frozen else {}),
             }
         )
     )
