@@ -477,6 +477,42 @@ def _build_preconditioner(op, mask, pc: str, opts: Dict[str, Any]):
     )
 
 
+def _solve_halo_sharded(
+    lat32, b, mask, g, rtol: float, atol: float, maxiter: int
+):
+    """Stripe-sharded constrained CG on the case's lattice operator.
+
+    Builds a 1-D device mesh over every visible device, partitions the
+    lattice's leading axis, and runs Jacobi-PCG with ppermute halo
+    exchange (parallel/halo.py). The f64 stencil weights are the same
+    W_f64 the single-device refinement outer applies, so the sharded
+    matvec matches the dense stencil apply bit-for-bit; only the dot-
+    product reduction order differs (partial sums + one psum).
+    """
+    from jax.sharding import Mesh
+
+    from ..parallel.halo import HaloStencilOperator, halo_pcg
+
+    mesh = Mesh(np.array(jax.devices()), ("stripe",))
+    hop = HaloStencilOperator.from_lattice_operator(lat32, mesh)
+    emb = lat32.embedding
+    gs = lat32.grid_shape
+    b_g = emb.embed(jnp.asarray(b), 0.0).reshape(gs)
+    g_g = emb.embed(jnp.asarray(g), 0.0).reshape(gs)
+    mask_g = emb.embed(jnp.asarray(mask, dtype=bool), True).reshape(gs)
+    x_g, kinfo = halo_pcg(
+        hop, b_g, mask_g, g_g, rtol=rtol, atol=atol, maxiter=maxiter
+    )
+    x = x_g.reshape(-1)[lat32.inv_j]
+    return np.asarray(x), {
+        "converged": bool(kinfo.converged),
+        "method": "cg",
+        "pc_used": f"jacobi+halo-sharded[{mesh.shape['stripe']}]",
+        "iterations": int(kinfo.iterations),
+        "residual": float(kinfo.residual),
+    }
+
+
 def solve_linear(
     op: LocalOperator,
     b: jnp.ndarray,
@@ -504,6 +540,33 @@ def solve_linear(
     # f32 stencil inner iterations with f64 refinement (solvers set
     # opts['_lattice32'] when the dof set forms a full lattice)
     lat32 = opts.get("_lattice32")
+
+    # multi-chip stripe-sharded route (PDEBENCH_TPU_HALO=1): the same
+    # structured-lattice system solved with dofs PARTITIONED across all
+    # visible devices — ppermute halo exchange per matvec, O(surface)
+    # ICI traffic (parallel/halo.py). The production entry point for
+    # pod-scale meshes; validated on the 8-virtual-CPU mesh against the
+    # single-device stencil path (tests/test_parallel.py). Reference
+    # role: MPI domain decomposition under DOLFINx meshes
+    # (pdebench/oracle/common.py:52,352-365).
+    if (
+        not use_direct
+        and lat32 is not None
+        and symmetric
+        and os.environ.get("PDEBENCH_TPU_HALO", "0") == "1"
+        and len(jax.devices()) > 1
+    ):
+        try:
+            x, hinfo = _solve_halo_sharded(
+                lat32, b, mask, g, rtol, atol, maxiter
+            )
+        except Exception as e:  # lattice too small for the mesh, etc.
+            info["halo_failed"] = f"{type(e).__name__}: {e}"
+        else:
+            if hinfo.pop("converged"):
+                info.update(hinfo)
+                return x, info
+            info["halo_failed"] = hinfo
     if (
         not use_direct
         and lat32 is not None

@@ -170,6 +170,52 @@ def test_sharded_elasticity_step(n_dev):
     assert np.all(np.isfinite(np.asarray(x)))
 
 
+# ---- dataset-sized solves through the dispatch halo route ---------------
+#
+# PDEBENCH_TPU_HALO=1 routes structured-lattice SPD systems through the
+# stripe-partitioned halo path from inside solvers/dispatch.solve_linear —
+# the production multi-chip entry. These run REAL benchmark_v2 cases at
+# dataset size on the 8-virtual-device mesh and compare grids against the
+# default single-device stencil path.
+
+
+def _load_case(cid):
+    import json
+
+    for line in open("/root/reference/data/benchmark_v2.jsonl"):
+        c = json.loads(line)
+        if c["id"] == cid:
+            return c
+    raise KeyError(cid)
+
+
+@pytest.mark.parametrize(
+    "cid",
+    [
+        "poisson_p2",  # res 100 P2, 40.4k dofs
+        "linear_elasticity_exponential_gradients",  # res 150 block, 45.6k
+    ],
+)
+def test_halo_route_dataset_case_matches_single_device(cid, monkeypatch):
+    from pdebench_tpu.oracle import OracleSolver
+
+    case = _load_case(cid)
+    r_ref = OracleSolver().solve(case["oracle_config"])
+    monkeypatch.setenv("PDEBENCH_TPU_HALO", "1")
+    r_halo = OracleSolver().solve(case["oracle_config"])
+    pc = r_halo.solver_info.get("pc_used", "")
+    assert "halo-sharded[8]" in pc, r_halo.solver_info
+    a, b = r_halo.reference, r_ref.reference
+    ma, mb = np.isnan(a), np.isnan(b)
+    assert (ma == mb).all()
+    both = ~ma
+    denom = np.linalg.norm(b[both])
+    rel = np.linalg.norm(a[both] - b[both]) / (denom if denom > 0 else 1.0)
+    assert rel < 1e-7, (cid, rel)
+    # the oracle's accuracy verdict must be unchanged by the route
+    assert r_halo.baseline_error < 1e-2
+
+
 def test_halo_rejects_too_many_devices():
     m = unit_square_mesh(3)
     space = FunctionSpace(m, 2)
