@@ -207,3 +207,118 @@ def test_native_fallback_can_be_disabled(mock_responses):
     resp = agent.generate_solution("task")
     assert not resp.success
     assert "not installed" in resp.error_message
+
+
+# ---- real external-framework invocation boundary ------------------------
+#
+# The image has neither OpenHands nor mini-swe-agent installed, so the
+# REAL invocation paths are exercised to the subprocess / API boundary
+# with the binary mocked: command line, workspace layout, anti-cheat
+# injection, and solver read-back (reference:
+# agents/openhands_wrapper.py:30-48, mini_swe_agent_wrapper.py:19-37).
+
+
+def test_openhands_real_invocation_boundary(monkeypatch):
+    from pathlib import Path
+
+    from pdebench_tpu.agents import wrappers
+
+    seen = {}
+
+    def fake_run(cmd, cwd=None, capture_output=None, text=None, timeout=None):
+        seen["cmd"] = cmd
+        seen["cwd"] = cwd
+        seen["timeout"] = timeout
+        # the framework writes the solver into its workspace
+        (Path(cwd) / "solver.py").write_text("def solve(case_spec):\n    pass\n")
+
+        class P:
+            returncode = 0
+            stdout = "done"
+            stderr = ""
+
+        return P()
+
+    monkeypatch.setattr(wrappers.subprocess, "run", fake_run)
+    monkeypatch.setattr(
+        wrappers.OpenHandsAgent, "_framework_available", lambda self: True
+    )
+    agent = get_agent("openhands", {"model": "mock", "timeout_sec": 77})
+    resp = agent.generate_solution("solve the PDE")
+    assert seen["cmd"][:3] == ["openhands", "--headless", "-t"]
+    task = seen["cmd"][3]
+    assert task.startswith("solve the PDE")
+    assert wrappers.ANTI_CHEAT_CONTRACT.strip() in task  # anti-cheat injected
+    assert seen["timeout"] == 77.0
+    assert seen["cwd"] is not None  # isolated tmp workspace
+    assert resp.success and "def solve" in resp.code
+    assert resp.metadata["agent"] == "openhands"
+
+
+def test_openhands_no_solver_falls_back_to_stdout_code(monkeypatch):
+    from pdebench_tpu.agents import wrappers
+
+    def fake_run(cmd, cwd=None, capture_output=None, text=None, timeout=None):
+        class P:
+            returncode = 0
+            stdout = "```python\ndef solve(case_spec):\n    return {}\n```"
+            stderr = ""
+
+        return P()
+
+    monkeypatch.setattr(wrappers.subprocess, "run", fake_run)
+    monkeypatch.setattr(
+        wrappers.OpenHandsAgent, "_framework_available", lambda self: True
+    )
+    agent = get_agent("openhands", {"model": "mock"})
+    resp = agent.generate_solution("task")
+    assert resp.success and "def solve" in resp.code
+
+
+def test_miniswe_real_invocation_boundary(monkeypatch):
+    import sys
+    import types
+    from pathlib import Path
+
+    from pdebench_tpu.agents import wrappers
+
+    seen = {}
+
+    def fake_run_task(task, cwd=None):
+        seen["task"] = task
+        seen["cwd"] = cwd
+        Path(cwd) / "solver.py"
+        (Path(cwd) / "solver.py").write_text("def solve(case_spec):\n    pass\n")
+
+    pkg = types.ModuleType("minisweagent")
+    runmod = types.ModuleType("minisweagent.run")
+    runmod.run_task = fake_run_task
+    pkg.run = runmod
+    monkeypatch.setitem(sys.modules, "minisweagent", pkg)
+    monkeypatch.setitem(sys.modules, "minisweagent.run", runmod)
+    agent = get_agent("mini-swe-agent", {"model": "mock"})
+    resp = agent.generate_solution("solve it")
+    assert seen["task"].startswith("solve it")
+    assert wrappers.ANTI_CHEAT_CONTRACT.strip() in seen["task"]
+    assert seen["cwd"] is not None
+    assert resp.success and "def solve" in resp.code
+    assert resp.metadata["agent"] == "mini-swe-agent"
+
+
+def test_miniswe_missing_solver_is_failure(monkeypatch):
+    import sys
+    import types
+
+    def fake_run_task(task, cwd=None):
+        pass  # framework ran but wrote nothing
+
+    pkg = types.ModuleType("minisweagent")
+    runmod = types.ModuleType("minisweagent.run")
+    runmod.run_task = fake_run_task
+    pkg.run = runmod
+    monkeypatch.setitem(sys.modules, "minisweagent", pkg)
+    monkeypatch.setitem(sys.modules, "minisweagent.run", runmod)
+    agent = get_agent("mini-swe-agent", {"model": "mock"})
+    resp = agent.generate_solution("task")
+    assert not resp.success
+    assert "no solver.py" in resp.error_message
