@@ -212,7 +212,10 @@ class ReactionDiffusionSolver:
             # tiled mode skips the dense stack and builds per-step
             # weights from the phase tile (PLAN_r3 #2; OPT-IN — the
             # round-3 burgers TPU A/B measured the tiled scan 8% slower,
-            # see oracle/burgers.py)
+            # see oracle/burgers.py). NOTE: that A/B covered BURGERS
+            # only; the RD Newton per-step shapes/costs differ and the
+            # tiled path is UNMEASURED here — it is bit-identical in
+            # weights, but enable on RD only after your own A/B.
             _tiled = os.environ.get("PDEBENCH_TPU_WBUILD", "dense") == "tiled"
             P_adv = (
                 None

@@ -375,6 +375,13 @@ class BilinearLatticeWeightMap:
                 my // r, r, mx // r, r
             )
         tile_b = tile[:, None, :, None, :]  # (pairs, 1, r, 1, r)
+        # NOTE (advisor r2): the blockwise product below covers the FULL
+        # grid including the boundary-band rows/cols that _band then
+        # overwrites — redundant FMAs in the band region. Acceptable
+        # while this path is opt-in (PDEBENCH_TPU_WBUILD=tiled, measured
+        # 8% slower than the dense stack anyway); if ever promoted to
+        # default, slice the product to the interior before the band
+        # overwrite.
         acc = [None] * self.K
         for idx, (a, b) in enumerate(self.pairs):
             term = tile_b[idx] * taps[b]
