@@ -28,6 +28,7 @@ B=$(budget)
 if [ "$B" -gt 120 ]; then
   timeout "$B" nice -n 10 python scripts/freeze_cpu_baseline.py \
     --resume-jsonl results/cpu_baseline_times.jsonl \
+    --order-file results/freeze_order_cheap.txt \
     >> results/freeze_baseline_r7.log 2>&1
 fi
 echo "chain7 done at $(date -u)" >> results/chain7_r2.log

@@ -16,10 +16,11 @@ come from VMEM):
     + effective GB/s; host-side numpy is the production default on
     axon per CLAUDE.md — this measures the on-device variant)
 
-Timing: each kernel is chained k times inside one jit (data-dependent,
-so XLA cannot elide the repeats); warm best-of-3 wall / k. Remote-axon
-dispatch latency therefore amortizes across the chain, isolating the
-per-application device cost rather than the tunnel round trip.
+Timing: each kernel is chained inside one jit (data-dependent, so XLA
+cannot elide the repeats) at two chain lengths; the per-application
+cost is the DELTA (t_long - t_short) / (n_long - n_short), which
+cancels the per-call dispatch/tunnel overhead exactly (both calls pay
+it once). Warm best-of-3 each.
 
 Writes a JSON table to stdout; paste into BASELINE.md.
 """
@@ -98,6 +99,13 @@ def main():
         print(f"# {json.dumps(row)}", file=sys.stderr, flush=True)
 
     CHAIN = 64
+    CHAIN_LONG = 512
+
+    def delta_timed(make_chain, *args):
+        """Per-iteration cost net of dispatch: two chain lengths."""
+        t_s, _ = _timed(make_chain(CHAIN), *args)
+        t_l, _ = _timed(make_chain(CHAIN_LONG), *args)
+        return max(t_l - t_s, 1e-12) / (CHAIN_LONG - CHAIN)
 
     for res, deg in [(150, 1), (100, 2)]:
         mesh = unit_square_mesh(res)
@@ -117,15 +125,17 @@ def main():
                 dtype=W.dtype,
             )
 
-            @jax.jit
-            def chain(W_, x_):
-                def body(_, v):
-                    return lat.apply_grid_w(W_, v) * 0.05
+            def make_chain(k):
+                @jax.jit
+                def chain(W_, x_):
+                    def body(_, v):
+                        return lat.apply_grid_w(W_, v) * 0.05
 
-                return jax.lax.fori_loop(0, CHAIN, body, x_)
+                    return jax.lax.fori_loop(0, k, body, x_)
 
-            t, _ = _timed(chain, W, x0)
-            t /= CHAIN
+                return chain
+
+            t = delta_timed(make_chain, W, x0)
             sol = (Kn + 2) * n * bpe  # W once + x once + y once
             record(
                 f"stencil_apply_res{res}_P{deg}_{dt}",
@@ -148,15 +158,17 @@ def main():
 
             vcyc = gmg.precond()
 
-            @jax.jit
-            def chain_v(r_):
-                def body(_, v):
-                    return vcyc(v.reshape(lat.shape)).reshape(-1) * 0.5
+            def make_chain_v(k):
+                @jax.jit
+                def chain_v(r_):
+                    def body(_, v):
+                        return vcyc(v.reshape(lat.shape)).reshape(-1) * 0.5
 
-                return jax.lax.fori_loop(0, CHAIN, body, r_)
+                    return jax.lax.fori_loop(0, k, body, r_)
 
-            t, _ = _timed(chain_v, r0)
-            t /= CHAIN
+                return chain_v
+
+            t = delta_timed(make_chain_v, r0)
             # per V-cycle: weights of every level + a few fine vectors
             sol = lv_bytes + 4 * n * 4
             record(
@@ -176,15 +188,19 @@ def main():
                     inner = None
                 if inner is not None:
 
-                    @jax.jit
-                    def chain_f(r_):
-                        def body(_, v):
-                            return inner(v) * 0.5
+                    def make_chain_f(k):
+                        @jax.jit
+                        def chain_f(r_):
+                            def body(_, v):
+                                return inner(v) * 0.5
 
-                        return jax.lax.fori_loop(0, 8, body, r_)
+                            return jax.lax.fori_loop(0, k, body, r_)
 
-                    t, _ = _timed(chain_f, r0)
-                    t /= 8
+                        return chain_f
+
+                    t_s, _ = _timed(make_chain_f(4), r0)
+                    t_l, _ = _timed(make_chain_f(16), r0)
+                    t = max(t_l - t_s, 1e-12) / 12
                     # one fused call = 25 CG its; HBM traffic is one
                     # read of all level weights + r in + z out (work
                     # vectors stay VMEM-resident)
@@ -222,15 +238,19 @@ def main():
             dtype=jnp.float32,
         )
 
-        @jax.jit
-        def chain_a(r_):
-            def body(_, v):
-                return Mamg(v) * 0.5
+        def make_chain_a(k):
+            @jax.jit
+            def chain_a(r_):
+                def body(_, v):
+                    return Mamg(v) * 0.5
 
-            return jax.lax.fori_loop(0, 16, body, r_)
+                return jax.lax.fori_loop(0, k, body, r_)
 
-        t, _ = _timed(chain_a, rc)
-        t /= 16
+            return chain_a
+
+        t_s, _ = _timed(make_chain_a(8), rc)
+        t_l, _ = _timed(make_chain_a(32), rc)
+        t = max(t_l - t_s, 1e-12) / 24
         record(
             "amg_vcycle_circle80_P1_f32", t, nnz_bytes,
             {"ndof": cspace.ndof, "levels": len(amg32.levels)},
