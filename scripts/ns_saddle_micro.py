@@ -29,13 +29,14 @@ sys.path.insert(0, str(REPO))
 
 
 def _timed(fn, *args, reps=3):
-    import jax
-
-    out = jax.block_until_ready(fn(*args))
+    """Warm best-of-N; the result VALUE is fetched to host each pass —
+    on the remote-axon backend block_until_ready alone can return
+    before execution completes, and a value fetch cannot."""
+    np.asarray(fn(*args))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(*args))
+        np.asarray(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best
 

@@ -41,23 +41,25 @@ HBM_PEAK_GBS = 819.0  # TPU v5e
 
 
 def _timed(fn, *args, reps=3):
+    """Warm best-of-N; the result VALUE is fetched to host each pass —
+    on the remote-axon backend block_until_ready alone can return
+    before execution completes, and a value fetch cannot."""
     out = fn(*args)
-    jax_block(out)
+    _fetch(out)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax_block(out)
+        _fetch(out)
         best = min(best, time.perf_counter() - t0)
     return best, out
 
 
-def jax_block(x):
+def _fetch(x):
     import jax
 
     jax.tree_util.tree_map(
-        lambda v: v.block_until_ready() if hasattr(v, "block_until_ready") else v,
-        x,
+        lambda v: np.asarray(v) if hasattr(v, "block_until_ready") else v, x
     )
 
 
@@ -156,19 +158,68 @@ def main():
                 np.random.default_rng(1).standard_normal(n), dtype=jnp.float32
             )
 
-            vcyc = gmg.precond()
+            # parameterized V-cycle: weights/diagonals as jit ARGUMENTS —
+            # closure constants would hit the remote constant-folding
+            # compile stall (CLAUDE.md)
+            from pdebench_tpu.solvers.gmg import (
+                _device_prolong,
+                _device_restrict,
+            )
+
+            lvs = gmg.levels
+            n_lv = len(lvs)
+
+            def apply_w(lv, Wl, x):
+                pad = lv.pad
+                xp = jnp.pad(x, pad)
+                out = jnp.zeros_like(x)
+                for kk, off in enumerate(lv.offsets):
+                    start = tuple(pad + o for o in off)
+                    out = out + Wl[kk] * jax.lax.dynamic_slice(
+                        xp, start, lv.shape
+                    )
+                return out
+
+            def vcyc_w(Ws_, Ds_, Ci_, r, i=0):
+                if i == n_lv:
+                    return (Ci_ @ r.reshape(-1)).reshape(
+                        gmg.coarse_shape
+                    )
+                lv = lvs[i]
+                x = lv.omega * Ds_[i] * r
+                res = r - apply_w(lv, Ws_[i], x)
+                if lv.pad_to is not None:
+                    res = jnp.pad(
+                        res,
+                        [(0, p - s) for s, p in zip(lv.shape, lv.pad_to)],
+                    )
+                xc = vcyc_w(Ws_, Ds_, Ci_, _device_restrict(res), i + 1)
+                xp2 = _device_prolong(xc, lv.pad_to or lv.shape)
+                if lv.pad_to is not None:
+                    xp2 = xp2[tuple(slice(0, s) for s in lv.shape)]
+                x = x + xp2
+                x = x + lv.omega * Ds_[i] * (
+                    r - apply_w(lv, Ws_[i], x)
+                )
+                return x
+
+            Ws_args = [l.W for l in lvs]
+            Ds_args = [l.diag_inv for l in lvs]
+            Ci_arg = gmg.coarse_inv
 
             def make_chain_v(k):
                 @jax.jit
-                def chain_v(r_):
+                def chain_v(r_, Ws_, Ds_, Ci_):
                     def body(_, v):
-                        return vcyc(v.reshape(lat.shape)).reshape(-1) * 0.5
+                        return vcyc_w(
+                            Ws_, Ds_, Ci_, v.reshape(lat.shape)
+                        ).reshape(-1) * 0.5
 
                     return jax.lax.fori_loop(0, k, body, r_)
 
                 return chain_v
 
-            t = delta_timed(make_chain_v, r0)
+            t = delta_timed(make_chain_v, r0, Ws_args, Ds_args, Ci_arg)
             # per V-cycle: weights of every level + a few fine vectors
             sol = lv_bytes + 4 * n * 4
             record(
