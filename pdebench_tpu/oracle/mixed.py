@@ -265,6 +265,11 @@ class SaddlePrecondParts:
     mask_full: jnp.ndarray
     nu_dofs: int
     ncomp: int
+    # lattice-native velocity V-cycle: (fine..., d) block grid ->
+    # (fine..., d), no dof<->lattice gathers (the per-iteration gather
+    # round trips are the measured cost of the flat-dof saddle path —
+    # BASELINE.md round-3 #11). None when the dofs don't form a lattice.
+    Mv_grid: Optional[Callable] = None
     # optional POLYNOMIAL pressure-mass Schur solve: Mp_solve(r_p) ~=
     # nu * Mp^{-1} r_p via a degree-3 Chebyshev in the Jacobi-scaled
     # mass stencil (3 coarse-lattice stencil applies; SPD in the D
@@ -379,7 +384,23 @@ def saddle_gmg_precond_parts(
             comps.append(zc.astype(ru_flat.dtype))
         return jnp.stack(comps, axis=1).reshape(-1)
 
-    return SaddlePrecondParts(Mv, inv_p, mask_full, nu_dofs, d, Mp_solve)
+    def Mv_grid(r_grid):
+        """(fine..., d) block grid -> same, gather-free (the component
+        planes ARE the scalar V-cycle grids; no embed/extract)."""
+        comps = []
+        for c in range(d):
+            rc32 = r_grid[..., c].astype(jnp.float32)
+            if fused is not None:
+                zc = fused(rc32.reshape(-1)).reshape(shape)
+            else:
+                zc = vcyc(rc32)
+            comps.append(zc.astype(r_grid.dtype))
+        return jnp.stack(comps, axis=-1)
+
+    return SaddlePrecondParts(
+        Mv, inv_p, mask_full, nu_dofs, d, Mv_grid=Mv_grid,
+        Mp_solve=Mp_solve,
+    )
 
 
 def _pressure_mass_chebyshev(

@@ -245,11 +245,60 @@ class NavierStokesSolver:
                 os.environ.get("PDEBENCH_TPU_NS_INIT_RTOL", "1e-6")
             )
 
+            # lattice-layout Krylov vectors (measured round 3: the
+            # per-iteration dof<->lattice gathers dominate the saddle
+            # per-it cost — BASELINE.md #11); flat layout restored by
+            # PDEBENCH_TPU_SADDLE_LAT=0 or when the polynomial mass
+            # Schur (a dof-vector callable) is active
+            _lsv_init = None
+            if (
+                parts.Mv_grid is not None
+                and not _schur_mass
+                and os.environ.get(
+                    "PDEBENCH_TPU_SADDLE_LAT",
+                    "1" if _on_tpu else "0",
+                )
+                == "1"
+            ):
+                from ..solvers.saddle_stencil import (
+                    LatticeSaddleVectors,
+                )
+
+                _lsv_init = LatticeSaddleVectors(
+                    sst, np.asarray(ctx.mask)
+                )
+                _invp_plane = _lsv_init.embed_plane_p(
+                    np.asarray(parts.inv_p)
+                )
+                _M_init_lat = _lsv_init.block_diag_M(
+                    parts.Mv_grid, _invp_plane
+                )
+
             @jax.jit
             def stokes_init_minres(WA64, rtol_):
                 # rtol as a traced ARGUMENT: one compiled program
                 # serves every tolerance (a closure constant would
                 # recompile remotely per value — minutes on axon)
+                if _lsv_init is not None:
+                    A = _con_op(
+                        _lsv_init.apply_w(WA64), _lsv_init.mask_lat
+                    )
+                    A32 = _con_op(
+                        _lsv_init.apply_w(WA64.astype(jnp.float32)),
+                        _lsv_init.mask_lat,
+                    )
+                    b_lat = _lsv_init.embed(b)
+                    g_lat = _lsv_init.embed(g_j)
+                    rhs = _con_rhs(
+                        _lsv_init.apply_w(WA64), b_lat,
+                        _lsv_init.mask_lat, g_lat,
+                    )
+                    x0 = jnp.where(_lsv_init.mask_lat, g_lat, 0.0)
+                    x_lat, kinfo = minres(
+                        A, rhs, x0=x0, M=_M_init_lat, rtol=rtol_,
+                        atol=1e-12, maxiter=2000, A32=A32,
+                    )
+                    return _lsv_init.extract(x_lat), kinfo
                 apply64 = sst.saddle_apply_w(WA64)
                 apply32 = sst.saddle_apply_w(WA64.astype(jnp.float32))
                 A = _con_op(apply64, mask_j)

@@ -149,8 +149,54 @@ class StokesSolver:
             except Exception:
                 sst = None
 
+            # lattice-layout MINRES (default on structured meshes):
+            # Krylov vectors stay [u_lat; p_lat] end to end — the
+            # per-iteration dof<->lattice gathers of the flat layout
+            # are the measured per-iteration cost (BASELINE.md r3 #11:
+            # saddle apply 914 -> 632 us, M 905 -> 412 us on TPU).
+            # One rhs embed + one solution extract per solve.
+            # PDEBENCH_TPU_SADDLE_LAT=0 restores the flat-dof layout.
+            lsv = None
+            if (
+                sst is not None
+                and parts is not None
+                and parts.Mv_grid is not None
+                and os.environ.get(
+                    "PDEBENCH_TPU_SADDLE_LAT",
+                    # TPU default; flat on CPU where gathers are cheap
+                    # and the padded lattice vectors cost more
+                    # (measured: stokes_basic CPU 3.56 flat / 3.91 lat)
+                    "1"
+                    if _jax.devices()[0].platform in ("tpu", "axon")
+                    else "0",
+                ) == "1"
+            ):
+                from ..solvers.saddle_stencil import LatticeSaddleVectors
+
+                lsv = LatticeSaddleVectors(sst, np.asarray(ctx.mask))
+                _invp_plane = lsv.embed_plane_p(np.asarray(parts.inv_p))
+                M_lat = lsv.block_diag_M(parts.Mv_grid, _invp_plane)
+
             @_jax.jit
             def jitted_minres(A_loc, G_loc, b, mask, g):
+                if lsv is not None:
+                    A = constrained_operator(
+                        lsv.apply_w(WA64), lsv.mask_lat
+                    )
+                    A32 = constrained_operator(
+                        lsv.apply_w(WA32), lsv.mask_lat
+                    )
+                    b_lat = lsv.embed(b)
+                    g_lat = lsv.embed(g)
+                    rhs = constrained_rhs(
+                        lsv.apply_w(WA64), b_lat, lsv.mask_lat, g_lat
+                    )
+                    x0 = jnp.where(lsv.mask_lat, g_lat, 0.0)
+                    x_lat, kinfo = minres(
+                        A, rhs, x0=x0, M=M_lat, rtol=rtol, atol=atol,
+                        maxiter=5000, A32=A32,
+                    )
+                    return lsv.extract(x_lat), kinfo
                 if sst is not None:
                     apply_raw = sst.saddle_apply_w(WA64)
                     apply32 = sst.saddle_apply_w(WA32)

@@ -187,6 +187,122 @@ class SaddleStencil:
         return apply
 
 
+class LatticeSaddleVectors:
+    """Lattice-layout saddle Krylov vectors: [u_lat (nf*d); p_lat (nc)].
+
+    The flat-dof saddle iteration pays 2 embeds + 2 extracts (TPU
+    gathers) per operator apply and more per preconditioner
+    application; at dataset sizes those gathers dominate the
+    per-Krylov-iteration cost (measured round 3: saddle apply 914 us
+    flat-dof vs 632 us lattice, tri-M 905 vs 412 us —
+    scripts/ns_saddle_micro.py). Keeping every Krylov vector in
+    lattice layout moves the dof<->lattice permutation to one embed of
+    the rhs and one extract of the solution per solve. Absent
+    masked-lattice sites and zero-padded entries are constrained
+    identity rows with zero data, so they stay exactly zero through
+    the constrained-operator wrappers and contribute nothing to inner
+    products.
+    """
+
+    def __init__(self, sst: SaddleStencil, mask_np: np.ndarray):
+        self.sst = sst
+        d = sst.d
+        nf = int(np.prod(sst.fine))
+        nc = int(np.prod(sst.coarse))
+        self.n_u = nf * d
+        self.n = nf * d + nc
+        m = np.asarray(mask_np, dtype=bool)
+        mu = sst.blat.embed_np(m[: sst.n_u], True)
+        mp = sst.lat_p.embed_np(m[sst.n_u :], True)
+        self.mask_lat = jnp.asarray(np.concatenate([mu, mp]))
+
+    def embed(self, x, fill=0.0) -> jnp.ndarray:
+        """[u; p] flat dof vector -> lattice-layout vector (traceable)."""
+        sst = self.sst
+        u = sst.blat.embed(x[: sst.n_u], fill)
+        p = sst.lat_p.embed(x[sst.n_u :], fill)
+        return jnp.concatenate([u, p])
+
+    def extract(self, x_lat: jnp.ndarray) -> jnp.ndarray:
+        """Lattice-layout vector -> [u; p] flat dof vector."""
+        sst = self.sst
+        u = sst.blat.extract(x_lat[: self.n_u])
+        p = sst.lat_p.extract(x_lat[self.n_u :])
+        return jnp.concatenate([u, p])
+
+    def apply_w(self, WA: jnp.ndarray) -> Callable:
+        """Saddle apply on lattice-layout vectors (no gathers)."""
+        sst = self.sst
+        f32 = WA.dtype == jnp.float32
+        WG = sst.WG32 if f32 else sst.WG64
+        WGT = sst.WGT32 if f32 else sst.WGT64
+        d = sst.d
+
+        def apply(x):
+            u_lat = x[: self.n_u].astype(WA.dtype).reshape(
+                sst.fine + (d,)
+            )
+            p_lat = x[self.n_u :].astype(WA.dtype).reshape(sst.coarse)
+            ru = sst.wmapA.apply_grid(WA, u_lat) + sst.applyG(WG, p_lat)
+            rp = sst.applyGT(WGT, u_lat)
+            return jnp.concatenate(
+                [ru.reshape(-1), rp.reshape(-1)]
+            ).astype(x.dtype)
+
+        return apply
+
+    def block_diag_M(self, Mv_grid: Callable, schur) -> Callable:
+        """Block-diagonal SPD M (MINRES) on lattice-layout vectors.
+        `schur` is the lattice-shaped inv_p plane (or a callable)."""
+        sst = self.sst
+        d = sst.d
+        mask_lat = self.mask_lat
+
+        def M(r):
+            r_u = r[: self.n_u].reshape(sst.fine + (d,))
+            rp = r[self.n_u :].reshape(sst.coarse)
+            zu = Mv_grid(r_u)
+            zp = schur(rp) if callable(schur) else (
+                schur.astype(rp.dtype) * rp
+            )
+            out = jnp.concatenate([zu.reshape(-1), zp.reshape(-1)])
+            return jnp.where(mask_lat, r, out)
+
+        return M
+
+    def tri_M(self, Mv_grid: Callable, schur) -> Callable:
+        """Block lower-triangular M (FGMRES): velocity solve, then
+        Schur update zp = -schur (r_p - G^T zu), all on the lattice."""
+        sst = self.sst
+        d = sst.d
+        mask_lat = self.mask_lat
+
+        def M(r):
+            r_u = r[: self.n_u].reshape(sst.fine + (d,))
+            rp = r[self.n_u :].reshape(sst.coarse)
+            zu = Mv_grid(r_u)
+            gt = sst.applyGT(
+                sst.WGT32 if r.dtype == jnp.float32 else sst.WGT64,
+                zu.astype(r.dtype),
+            )
+            rs = rp - gt
+            zp = -(schur(rs) if callable(schur) else (
+                schur.astype(rs.dtype) * rs
+            ))
+            out = jnp.concatenate([zu.reshape(-1), zp.reshape(-1)])
+            return jnp.where(mask_lat, r, out)
+
+        return M
+
+    def embed_plane_p(self, v_dof: np.ndarray, fill=1.0) -> jnp.ndarray:
+        """Host-side: pressure dof vector -> coarse-lattice plane."""
+        return jnp.asarray(
+            self.sst.lat_p.embed_np(np.asarray(v_dof), fill).reshape(
+                self.sst.coarse
+            )
+        )
+
+
 def build_saddle_stencil(V, Q, G_loc_np: np.ndarray) -> Optional[SaddleStencil]:
     """SaddleStencil for a Taylor-Hood pair, or None when the dof sets
     aren't nested lattices (unstructured/complex domains, periodic)."""
