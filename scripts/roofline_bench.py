@@ -109,7 +109,10 @@ def main():
         t_l, _ = _timed(make_chain(CHAIN_LONG), *args)
         return max(t_l - t_s, 1e-12) / (CHAIN_LONG - CHAIN)
 
-    for res, deg in [(150, 1), (100, 2)]:
+    # res 120 P1: pure-halving hierarchy (121 -> 61 -> 31), so the fused
+    # GMG-PCG kernel builds; res 150's 151 -> 76 level is identity-padded
+    # and the fused builder correctly skips it
+    for res, deg in [(150, 1), (120, 1), (100, 2)]:
         mesh = unit_square_mesh(res)
         space = FunctionSpace(mesh, deg)
         cb = cell_batch(mesh, deg)
