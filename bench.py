@@ -140,6 +140,40 @@ def _solve_with_retry(solver, oracle_config, case_id, retries: int = 1):
             raise
 
 
+def _service_sentinel() -> float:
+    """Time a FIXED reference kernel on the backend (seconds, best of 3).
+
+    The remote axon service has weather: the same warm solve measured
+    0.40/0.80/0.93 s across rounds on identical code (BASELINE.md #15).
+    This sentinel — 64 chained 2048x2048 f32 matmuls reduced to one
+    scalar (4-byte fetch, so tunnel bandwidth doesn't dominate) — is
+    recorded with every capture so round-over-round comparisons can
+    separate solver changes from service drift.
+    """
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    a = jnp.ones((2048, 2048), jnp.float32) / 2048.0
+
+    @jax.jit
+    def chain(x):
+        def body(i, y):
+            return (y @ a) * 0.9999
+
+        return jnp.sum(lax.fori_loop(0, 64, body, x))
+
+    np.asarray(chain(a))  # compile + first execute
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(chain(a))  # value fetch proves execution completed
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main():
     import os
 
@@ -163,6 +197,13 @@ def main():
 
     from pdebench_tpu.oracle import OracleSolver
 
+    try:
+        sentinel_s = round(_service_sentinel(), 4)
+        print(f"# service sentinel: {sentinel_s}s", file=sys.stderr)
+    except Exception as e:  # never let the sentinel kill the bench
+        print(f"# service sentinel failed: {e}", file=sys.stderr)
+        sentinel_s = None
+
     suite = _suite()
     solver = OracleSolver()
     frozen = _frozen_proxy_times()
@@ -172,14 +213,21 @@ def main():
         oc = case["oracle_config"]
         pde_type = oc["pde"]["type"]
         try:
+            # Best-of-2 on the whole case: run() already takes best-of-N
+            # warm passes, but t_setup is measured once and the remote
+            # axon service intermittently stalls ~10 s on a single
+            # host->device transfer (observed: wave t_setup 11.3 s vs
+            # 0.4-1.2 s across identical runs). Both passes run with
+            # COLD setup caches (geometry + sympy cleared first) so
+            # t_setup is charged cold exactly like the frozen CPU
+            # baseline's single cold solve — otherwise the second pass
+            # rides warm caches and the TPU/CPU protocols diverge
+            # (ADVICE r3, medium).
+            from pdebench_tpu.oracle import base as _obase
+
+            _obase.clear_setup_caches()
             r = _solve_with_retry(solver, oc, case["id"])
-            # second pass, best-of-2 on the whole case: run() already
-            # takes best-of-N warm passes, but t_setup is measured once
-            # and the remote-axon service intermittently stalls ~10 s on
-            # a single host->device transfer (observed: wave t_setup
-            # 11.3 s vs 0.4-1.2 s across identical runs). The second
-            # solve rides the warm geometry/sympy caches — the
-            # documented host-work + warm-geometry timing contract.
+            _obase.clear_setup_caches()
             r2 = _solve_with_retry(solver, oc, case["id"])
             if r2.baseline_time < r.baseline_time:
                 r = r2
@@ -226,8 +274,13 @@ def main():
 
     t_tpu = sum(r["t_tpu"] for r in results) / len(results)
     cpu_ok = [r for r in results if math.isfinite(r["t_cpu"])]
+    # vs_baseline over the SAME subset on both sides: a case with no
+    # frozen CPU time must drop out of the TPU mean too, or the ratio
+    # mixes mismatched case sets (ADVICE r3). `value` keeps the all-case
+    # TPU mean.
     t_cpu = sum(r["t_cpu"] for r in cpu_ok) / len(cpu_ok) if cpu_ok else float("nan")
-    vs = (t_cpu / t_tpu) if (cpu_ok and t_tpu > 0) else None
+    t_tpu_ok = sum(r["t_tpu"] for r in cpu_ok) / len(cpu_ok) if cpu_ok else float("nan")
+    vs = (t_cpu / t_tpu_ok) if (cpu_ok and t_tpu_ok > 0) else None
     print(
         json.dumps(
             {
@@ -238,6 +291,12 @@ def main():
                 "n_cases": len(results),
                 "types": [r["type"] for r in results],
                 "max_error": max(r["error"] for r in results),
+                # protocol stamp: TPU = best-of-2 whole-case solves, each
+                # with cold setup caches, warm-execution timing (best of
+                # PDEBENCH_TPU_WARM_REPEATS); CPU = frozen single cold
+                # quiet-box direct solve (scripts/freeze_cpu_baseline.py)
+                "protocol": "tpu=best2-coldcache-warmexec cpu=frozen-cold-direct",
+                "sentinel_s": sentinel_s,
                 **({"missing_frozen": missing_frozen} if missing_frozen else {}),
             }
         )

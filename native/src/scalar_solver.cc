@@ -140,6 +140,16 @@ int main(int argc, char** argv) {
   double rtol = solver["rtol"].number_or(1e-10);
   double atol = solver["atol"].number_or(1e-14);
   std::string ksp = solver["ksp_type"].str_or("cg");
+  // robustness override (the reference's dealii driver forces stronger
+  // solvers per case, oracle.py:503-529): the python driver
+  // (oracle/cpp_backend.py) injects "native_solver" to escalate the
+  // ILUT strength / restart length when the default-strength FGMRES
+  // stagnates (e.g. high-Pe SUPG systems on complex domains)
+  const auto& nsol = spec["native_solver"];
+  double ilut_tau = nsol["ilut_tau"].number_or(1e-3);
+  int ilut_fill = (int)nsol["ilut_fill"].number_or(60);
+  int gmres_restart = (int)nsol["restart"].number_or(200);
+  int gmres_maxiter = (int)nsol["maxiter"].number_or(20000);
 
   std::vector<uint8_t> fixed(sp.dof_boundary.begin(), sp.dof_boundary.end());
   std::vector<double> u(n, 0.0), b(n, 0.0), g(n, 0.0);
@@ -172,7 +182,7 @@ int main(int argc, char** argv) {
 
   auto solve_general = [&](CSR& A) {
     constrain_system(A, b, fixed, g);
-    ILUT M(A, 1e-3, 60);
+    ILUT M(A, ilut_tau, ilut_fill);
     for (int i = 0; i < n; ++i) u[i] = fixed[i] ? g[i] : u[i];
     info = fgmres(
         n,
@@ -183,7 +193,7 @@ int main(int argc, char** argv) {
         [&](const std::vector<double>& r, std::vector<double>& z) {
           M.apply(r, z);
         },
-        rtol, atol, 20000, 200);
+        rtol, atol, gmres_maxiter, gmres_restart);
     ksp_used = "fgmres";
     pc_used = "ilut";
   };
@@ -410,7 +420,7 @@ int main(int argc, char** argv) {
     set_bc(t0);
     CSR A_c = A;
     A_c.constrain(fixed);
-    ILUT Milut(A_c, 1e-3, 60);
+    ILUT Milut(A_c, ilut_tau, ilut_fill);
     std::vector<double> Mu(n), fvec(n), gz(n), Ag(n);
     long total_it = 0;
     double t = t0;
@@ -479,7 +489,7 @@ int main(int argc, char** argv) {
           [&](const std::vector<double>& r, std::vector<double>& z) {
             Milut.apply(r, z);
           },
-          rtol, atol, 20000, 200);
+          rtol, atol, gmres_maxiter, gmres_restart);
       total_it += info.iterations;
     }
     info.iterations = (int)total_it;

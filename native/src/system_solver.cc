@@ -184,6 +184,11 @@ int main(int argc, char** argv) {
   double rtol = solver["rtol"].number_or(1e-10);
   double atol = solver["atol"].number_or(1e-12);
   std::string ksp = solver["ksp_type"].str_or("cg");
+  // robustness override injected by oracle/cpp_backend.py on
+  // default-strength failure (reference: dealii_oracle/oracle.py:503-529)
+  const auto& nsol = spec["native_solver"];
+  double ilut_tau = nsol["ilut_tau"].number_or(1e-3);
+  int ilut_fill = (int)nsol["ilut_fill"].number_or(60);
   GridSpec grid = read_grid(spec);
 
   auto elapsed = [&]() {
@@ -479,7 +484,7 @@ int main(int argc, char** argv) {
         // ILUT of the full (constrained) saddle Jacobian: velocity-first
         // ordering lets the pressure rows accumulate Schur fill
         auto t_ilut0 = std::chrono::steady_clock::now();
-        ILUT Milut(sys.J, 1e-3, 60);
+        ILUT Milut(sys.J, ilut_tau, ilut_fill);
         if (std::getenv("PDEBENCH_NATIVE_VERBOSE"))
           std::fprintf(stderr, "[newton] |F|=%.3e ilut_build=%.2fs nnz=%zu\n",
                        fn,

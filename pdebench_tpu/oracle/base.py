@@ -58,7 +58,14 @@ def memo_geometry(key_obj, builder: Callable[[], Any]) -> Any:
         return builder()
     import json as _json
 
-    key = _json.dumps(key_obj, sort_keys=True, default=str)
+    try:
+        key = _json.dumps(key_obj, sort_keys=True)
+    except TypeError:
+        # Non-JSON key component (e.g. an ndarray in a future spec): do
+        # NOT coerce with str() — numpy's truncated repr can collide two
+        # distinct specs and silently return the wrong cached mesh.
+        # An unhashable spec disables caching instead (ADVICE r3).
+        return builder()
     if key in _GEOM_CACHE:
         val = _GEOM_CACHE.pop(key)
         _GEOM_CACHE[key] = val  # move to MRU
@@ -76,7 +83,26 @@ def geom_cache_has(key_obj) -> bool:
         return False
     import json as _json
 
-    return _json.dumps(key_obj, sort_keys=True, default=str) in _GEOM_CACHE
+    try:
+        return _json.dumps(key_obj, sort_keys=True) in _GEOM_CACHE
+    except TypeError:
+        return False
+
+
+def clear_setup_caches() -> None:
+    """Drop every process-level setup cache (geometry + sympy parse/
+    lambdify), restoring cold per-case setup costs.
+
+    Used by bench.py between its best-of-2 whole-case passes so the
+    second pass pays the same cold t_setup as the frozen CPU baseline's
+    single cold solve (scripts/freeze_cpu_baseline.py) — otherwise the
+    TPU-vs-CPU comparison is protocol-asymmetric (ADVICE r3, medium).
+    """
+    _GEOM_CACHE.clear()
+    for fn_name in ("_parse_str", "_lambdify_spatial_cached", "_lambdify_numpy_cached"):
+        fn = getattr(symbolic, fn_name, None)
+        if fn is not None and hasattr(fn, "cache_clear"):
+            fn.cache_clear()
 
 
 # ---------------------------------------------------------------------------

@@ -293,6 +293,7 @@ class StokesSolver:
                         method="minres",
                         iterations=int(kinfo.iterations),
                         residual=float(kinfo.residual),
+                        saddle_layout="lattice" if lsv is not None else "flat",
                     )
                     grid = ctx.sample_velocity_magnitude(np.asarray(x))
                     return grid, info

@@ -9,11 +9,27 @@ orchestrate on host; only the iterative hot loops live on device).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import numpy as np
 import scipy.sparse as sps
 import scipy.sparse.linalg as spla
+
+
+def _splu(A_csc):
+    """splu with a switchable fill-reducing ordering.
+
+    scipy's default is COLAMD; for the symmetric-pattern saddle systems
+    the NS/Stokes oracles factor, MMD_AT_PLUS_A orders on the pattern of
+    A^T+A and typically yields sparser factors (SuperLU user guide).
+    Opt-in via PDEBENCH_TPU_SPLU_PERMC until A/B'd on the bench host
+    (PLAN_r4 #3c).
+    """
+    permc = os.environ.get("PDEBENCH_TPU_SPLU_PERMC", "")
+    if permc:
+        return spla.splu(A_csc, permc_spec=permc)
+    return spla.splu(A_csc)
 
 
 def solve_direct_constrained(
@@ -29,7 +45,7 @@ def solve_direct_constrained(
     A = A.tocsr()
     n = A.shape[0]
     if mask is None:
-        return spla.splu(A.tocsc()).solve(np.asarray(b))
+        return _splu(A.tocsc()).solve(np.asarray(b))
     mask = np.asarray(mask, dtype=bool)
     g = np.zeros(n) if g is None else np.asarray(g, dtype=np.float64)
     free = np.nonzero(~mask)[0]
@@ -37,13 +53,13 @@ def solve_direct_constrained(
     A_ff = A[free][:, free].tocsc()
     rhs = np.asarray(b)[free] - A[free][:, fixed] @ g[fixed]
     x = np.array(g, dtype=np.float64)
-    x[free] = spla.splu(A_ff).solve(rhs)
+    x[free] = _splu(A_ff).solve(rhs)
     return x
 
 
 def lu_factorization(A_ff: sps.spmatrix):
     """Cache-friendly handle for repeated solves (transient problems)."""
-    return spla.splu(A_ff.tocsc())
+    return _splu(A_ff.tocsc())
 
 
 class ConstrainedLU:
@@ -63,14 +79,14 @@ class ConstrainedLU:
         self.n = A.shape[0]
         if mask is None:
             self.mask = None
-            self.lu = spla.splu(A.tocsc())
+            self.lu = _splu(A.tocsc())
             return
         mask = np.asarray(mask, dtype=bool)
         self.mask = mask
         self.free = np.nonzero(~mask)[0]
         self.fixed = np.nonzero(mask)[0]
         self.A_fg = A[self.free][:, self.fixed]
-        self.lu = spla.splu(A[self.free][:, self.free].tocsc())
+        self.lu = _splu(A[self.free][:, self.free].tocsc())
 
     def solve(
         self, b: np.ndarray, g: Optional[np.ndarray] = None

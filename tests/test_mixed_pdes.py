@@ -80,6 +80,39 @@ def test_stokes_taylor_hood(solver):
     assert r.baseline_error < 1e-3, r.solver_info
 
 
+def test_stokes_lattice_saddle_layout_parity(monkeypatch):
+    """PDEBENCH_TPU_SADDLE_LAT=1 (the TPU production default for Stokes
+    MINRES) must match the flat-dof layout grid-for-grid. CI runs CPU,
+    where the default is flat — force the lattice layout on so the TPU
+    default code path is covered (ADVICE r3)."""
+    cfg = {
+        "pde": {
+            "type": "stokes",
+            "pde_params": {"nu": 1.0},
+            "manufactured_solution": {
+                "u": ["pi*cos(pi*y)*sin(pi*x)", "-pi*cos(pi*x)*sin(pi*y)"],
+                "p": "cos(pi*x)*cos(pi*y)",
+            },
+        },
+        "domain": {"type": "unit_square"},
+        "mesh": {"resolution": 16, "cell_type": "triangle"},
+        "fem": {"degree_u": 2, "degree_p": 1},
+        "bc": {"dirichlet": {"on": "all", "value": ["0", "0"]}},
+        "output": {"format": "npz", "field": "velocity_magnitude", "grid": _grid()},
+        "oracle_solver": {"ksp_type": "minres", "pc_type": "jacobi",
+                          "rtol": 1e-10, "pressure_fixing": "point"},
+    }
+    monkeypatch.setenv("PDEBENCH_TPU_SADDLE_LAT", "1")
+    r_lat = S.solve(cfg)
+    monkeypatch.setenv("PDEBENCH_TPU_SADDLE_LAT", "0")
+    r_flat = S.solve(cfg)
+    assert r_lat.baseline_error < 1e-3, r_lat.solver_info
+    assert r_lat.solver_info.get("saddle_layout") == "lattice", (
+        "lattice layout did not engage on this structured case"
+    )
+    np.testing.assert_allclose(r_lat.reference, r_flat.reference, atol=1e-7)
+
+
 def test_navier_stokes_newton_mms():
     cfg = {
         "pde": {

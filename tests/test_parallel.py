@@ -194,12 +194,18 @@ def _load_case(cid):
     [
         "poisson_p2",  # res 100 P2, 40.4k dofs
         "linear_elasticity_exponential_gradients",  # res 150 block, 45.6k
+        "poisson_3d_smooth_trig",  # unit_cube res 32, 35.9k dofs (3-D leg)
     ],
 )
 def test_halo_route_dataset_case_matches_single_device(cid, monkeypatch):
     from pdebench_tpu.oracle import OracleSolver
 
     case = _load_case(cid)
+    if case["oracle_config"]["domain"]["type"] == "unit_cube":
+        # 3-D stencil operators are TPU-gated (oracle/scalar.py
+        # maybe_lattice32); force them so the CPU-mesh CI covers the
+        # same lattice route a TPU pod would take, on BOTH solves
+        monkeypatch.setenv("PDEBENCH_TPU_FORCE_STENCIL", "1")
     r_ref = OracleSolver().solve(case["oracle_config"])
     monkeypatch.setenv("PDEBENCH_TPU_HALO", "1")
     r_halo = OracleSolver().solve(case["oracle_config"])

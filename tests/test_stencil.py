@@ -152,8 +152,9 @@ def test_bilinear_weight_map_matches_scatter():
         if not lat.masked:
             assert bwm._compressed is not None, "expected compression"
         P_rt = np.asarray(bwm.P_dense(bwm.P_parts))
-        pscale = np.abs(bwm.P_np).max()
-        np.testing.assert_allclose(P_rt, bwm.P_np, atol=2e-6 * pscale)
+        P_host = bwm.dense_np()
+        pscale = np.abs(P_host).max()
+        np.testing.assert_allclose(P_rt, P_host, atol=2e-6 * pscale)
         W_cmp = np.asarray(bwm.weights_w(jnp.asarray(P_rt), u_lat))
         np.testing.assert_allclose(W_cmp, W_ref, atol=4e-6 * scale)
 
@@ -161,6 +162,59 @@ def test_bilinear_weight_map_matches_scatter():
         # dense-stack build bit-for-bit — same products, same order
         W_tiled = np.asarray(bwm.weights_w_parts(bwm.P_parts, u_lat))
         np.testing.assert_array_equal(W_tiled, W_cmp)
+
+
+def test_bilinear_tile_direct_build_matches_dense(monkeypatch):
+    """The tile-direct P build (default, PDEBENCH_TPU_PBUILD=tile) must
+    reproduce the dense discovery build within the compression
+    equivalence class on lattices large enough for it to engage."""
+    from pdebench_tpu.fem.assemble import local_advection
+    from pdebench_tpu.solvers.stencil import (
+        BilinearLatticeWeightMap,
+        lattice_weight_map,
+    )
+
+    for deg, res in ((1, 40), (2, 20)):
+        mesh = unit_square_mesh(res)
+        space = FunctionSpace(mesh, deg)
+        cb = cell_batch(mesh, deg)
+        lat = detect_lattice(space.dof_coords)
+        wmap = lattice_weight_map(lat, space.dofmap_scalar)
+        gph = np.asarray(cb.grad_phys())
+        T_adv = np.einsum(
+            "cq,qi,qk,cqj->cijk",
+            np.asarray(cb.wdetJ),
+            np.asarray(cb.phi),
+            np.asarray(cb.phi),
+            gph.sum(-1),
+            optimize=True,
+        )
+        monkeypatch.setenv("PDEBENCH_TPU_PBUILD", "tile")
+        bwm_t = BilinearLatticeWeightMap(
+            wmap, lat, space.dofmap_scalar, T_adv
+        )
+        assert bwm_t.P_np is None, (
+            f"tile-direct build did not engage (deg={deg}, res={res})"
+        )
+        monkeypatch.setenv("PDEBENCH_TPU_PBUILD", "dense")
+        bwm_d = BilinearLatticeWeightMap(
+            wmap, lat, space.dofmap_scalar, T_adv
+        )
+        assert bwm_t.pairs == bwm_d.pairs
+        Pd, Pt = bwm_d.dense_np(), bwm_t.dense_np()
+        pscale = np.abs(Pd).max()
+        # interior is the periodic-tile reconstruction on both sides
+        # (same equivalence class); bands are exact
+        np.testing.assert_allclose(Pt, Pd, atol=5e-6 * pscale)
+        rng = np.random.default_rng(deg)
+        u = rng.standard_normal(space.ndof)
+        u_lat = jnp.asarray(
+            lat.embed_np(u.astype(np.float32), 0.0).reshape(wmap.shape)
+        )
+        Wt = np.asarray(bwm_t.weights_w(bwm_t.P, u_lat))
+        Wd = np.asarray(bwm_d.weights_w(bwm_d.P, u_lat))
+        scale = max(np.abs(Wd).max(), 1e-30)
+        np.testing.assert_allclose(Wt, Wd, atol=5e-6 * scale)
 
 
 def test_burgers_step_weights_match_cell_path(monkeypatch):
