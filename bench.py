@@ -24,8 +24,21 @@ import sys
 import time
 
 
+# Hard-stratum cases added in round 4 (VERDICT r3 #3): the per-type
+# unit_square MMS picks below are the stencil/GMG machinery's best
+# stratum; these three cover what it left out — a 3-D structured case,
+# a complex-domain SUPG monster, and a >=100k-dof unstructured system —
+# each with a frozen quiet-box CPU proxy like every other suite case.
+_HARD_SUITE_IDS = [
+    "helmholtz_3d_k5_trig",  # unit_cube, 91k dofs, 3-D stencil+GMG
+    "convdiff_eccentric_annulus_supg",  # 543k dofs, SUPG, SA-AMG path
+    "helmholtz_circle_origin_v2",  # 834k dofs, largest dataset system
+]
+
+
 def _suite(max_per_type: int = 1):
     import collections
+    import os
     from pathlib import Path
 
     path = Path(__file__).parent / "data" / "benchmark_v2.jsonl"
@@ -34,6 +47,9 @@ def _suite(max_per_type: int = 1):
     cases = [json.loads(l) for l in open(path)]
     picked = []
     seen = collections.Counter()
+    if os.environ.get("PDEBENCH_TPU_BENCH_HARD", "1") == "1":
+        by_id = {c["id"]: c for c in cases}
+        picked.extend(by_id[i] for i in _HARD_SUITE_IDS if i in by_id)
     for c in cases:  # preferred: unit_square MMS cases
         oc = c["oracle_config"]
         t = oc["pde"]["type"]

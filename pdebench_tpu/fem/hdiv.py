@@ -1,9 +1,12 @@
-"""Lowest-order Raviart-Thomas (RT0) x DG0 mixed spaces on triangles.
+"""Raviart-Thomas (RT0 x DG0 and RT1 x DG1) mixed spaces on triangles.
 
-H(div)-conforming flux space for the mixed Darcy formulation
+H(div)-conforming flux spaces for the mixed Darcy formulation
 (reference: pdebench/oracle/darcy.py:46-61 builds RT_k x DG_l through
-basix; no benchmark case exercises it, but the capability is part of
-the oracle inventory). Array-native construction:
+basix with configurable order; no benchmark case exercises it, but the
+capability is part of the oracle inventory). RT0 uses the closed-form
+edge basis below; RT1 (basix 'RT' degree 2) tabulates per-cell bases
+numerically from the standard dof functionals (rt1_assemble).
+Array-native RT0 construction:
 
   - flux dofs = global mesh edges, oriented low->high vertex index;
     the cell-local sign sigma is +1 when the local edge agrees with
@@ -78,6 +81,145 @@ def rt0_space(mesh: Mesh) -> RT0Space:
         edge_midpoints=midpoints,
         edge_normals=normals,
     )
+
+
+def _edge_gauss(space: RT0Space, npts: int = 2):
+    """Gauss points along every GLOBAL edge (low->high vertex order).
+
+    Returns (pts (ne, g, 2), s (g,) in [0,1], w (ne, g)) with
+    sum_g w = |e|. Using the global orientation for the linear edge
+    moment makes adjacent cells share identical dof functionals, so
+    H(div) conformity needs no per-cell sign bookkeeping.
+    """
+    x, w = np.polynomial.legendre.leggauss(npts)
+    s = 0.5 * (x + 1.0)  # [0, 1]
+    a = space.mesh.coords[space.edge_verts[:, 0]]  # (ne, 2)
+    b = space.mesh.coords[space.edge_verts[:, 1]]
+    pts = a[:, None, :] + s[None, :, None] * (b - a)[:, None, :]
+    wts = 0.5 * w[None, :] * space.edge_lengths[:, None]
+    return pts, s, wts
+
+
+def rt1_assemble(space: RT0Space, kappa_inv_fn, qdeg: int = 5):
+    """RT1 x DG1 local system (basix 'RT' degree 2 — the next order
+    after RT0; reference: pdebench/oracle/darcy.py:46-61 builds RT_k x
+    DG_l through basix for configurable k).
+
+    Per-cell numerically-tabulated basis: the 8-dim RT1 space
+    span{(1,0),(X,0),(Y,0),(0,1),(0,X),(0,Y), X(X,Y), Y(X,Y)} in
+    cell-local scaled coordinates X=(x-xc)/h, with the standard dofs —
+    two normal moments per edge (constant + linear Legendre along the
+    GLOBAL edge orientation) and two interior moments against (P0)^2.
+    Inverting the 8x8 generalized Vandermonde per cell (batched host
+    numpy) yields physical basis functions directly; no Piola map or
+    reference-orientation cases needed, and conformity is automatic
+    because adjacent cells share the global edge functionals.
+
+    Returns (M_loc (c,8,8), B_loc (c,3,8), fdofs (c,8) global flux dof
+    ids, aux) where aux carries what BC construction and sampling need.
+    """
+    mesh = space.mesh
+    cells = mesh.cells.astype(np.int64)
+    v = mesh.coords[cells]  # (c, 3, 2)
+    nc = mesh.n_cells
+    ne = space.n_edges
+    e1 = v[:, 1] - v[:, 0]
+    e2 = v[:, 2] - v[:, 0]
+    detJ = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+    area = 0.5 * np.abs(detJ)
+    xc = v.mean(axis=1)  # (c, 2)
+    h = np.sqrt(area)  # local length scale (conditioning)
+
+    def mono(Xl):
+        """(…, 2) local coords -> values (…, 8, 2) of the 8 monomials."""
+        x, y = Xl[..., 0], Xl[..., 1]
+        o = np.zeros_like(x)
+        e = np.ones_like(x)
+        mx = np.stack([e, x, y, o, o, o, x * x, x * y], axis=-1)
+        my = np.stack([o, o, o, e, x, y, x * y, y * y], axis=-1)
+        return np.stack([mx, my], axis=-1)
+
+    def mono_div(Xl, h_):
+        """Physical divergence of the monomials (d/dx = (1/h) d/dX)."""
+        x, y = Xl[..., 0], Xl[..., 1]
+        o = np.zeros_like(x)
+        e = np.ones_like(x)
+        return np.stack(
+            [o, e, o, o, o, e, 3.0 * x, 3.0 * y], axis=-1
+        ) / h_[..., None]
+
+    # --- generalized Vandermonde -----------------------------------------
+    epts, s_param, ew = _edge_gauss(space, 2)  # exact to edge-degree 3
+    qlin = 2.0 * s_param - 1.0  # Legendre P1 along the global edge
+    ce = space.cell_edges  # (c, 3)
+    # edge quadrature data gathered per cell edge: (c, 3, g, 2)
+    ep_c = epts[ce]
+    ew_c = ew[ce]
+    n_c = space.edge_normals[ce]  # (c, 3, 2) global normals
+    Xl_e = (ep_c - xc[:, None, None, :]) / h[:, None, None, None]
+    m_e = mono(Xl_e)  # (c, 3, g, 8, 2)
+    mn = np.einsum("cegjd,ced->cegj", m_e, n_c)  # (c, 3, g, 8)
+    mom0 = np.einsum("cegj,ceg->cej", mn, ew_c)  # (c, 3, 8)
+    mom1 = np.einsum("cegj,ceg,g->cej", mn, ew_c, qlin)
+    # interior moments: reference-triangle quadrature mapped to the cell
+    rpts, rwts = refelem.quadrature("triangle", max(qdeg, 2))
+    xq = (
+        v[:, 0][:, None, :]
+        + rpts[None, :, 0:1] * e1[:, None, :]
+        + rpts[None, :, 1:2] * e2[:, None, :]
+    )  # (c, q, 2)
+    wq = rwts[None, :] * np.abs(detJ)[:, None]  # sums to area per cell
+    Xl_q = (xq - xc[:, None, :]) / h[:, None, None]
+    m_q = mono(Xl_q)  # (c, q, 8, 2)
+    int_mom = np.einsum("cqjd,cq->cdj", m_q, wq)  # (c, 2, 8)
+
+    V = np.empty((nc, 8, 8))
+    V[:, 0:6:2, :] = mom0  # edge constant moments (rows 0, 2, 4)
+    V[:, 1:6:2, :] = mom1  # edge linear moments (rows 1, 3, 5)
+    V[:, 6:8, :] = int_mom
+    C = np.linalg.inv(V)  # (c, 8, 8): phi_i = sum_j C[c, j, i] m_j
+
+    # --- local matrices ---------------------------------------------------
+    kinv_q = np.asarray(kappa_inv_fn(xq))  # (c, q)
+    phi = np.einsum("cqjd,cji->cqid", m_q, C)  # (c, q, 8, 2)
+    M_loc = np.einsum("cqid,cqjd,cq->cij", phi, phi, wq * kinv_q)
+    dphi = np.einsum("cqj,cji->cqi", mono_div(Xl_q, h[:, None]), C)
+    psi = np.stack(
+        [np.ones_like(Xl_q[..., 0]), Xl_q[..., 0], Xl_q[..., 1]], axis=-1
+    )  # (c, q, 3) DG1 basis in local coords
+    B_loc = np.einsum("cqi,cql,cq->cli", dphi, psi, wq)  # (c, 3, 8)
+
+    fdofs = np.empty((nc, 8), dtype=np.int64)
+    fdofs[:, 0:6:2] = 2 * ce
+    fdofs[:, 1:6:2] = 2 * ce + 1
+    fdofs[:, 6] = 2 * ne + 2 * np.arange(nc)
+    fdofs[:, 7] = 2 * ne + 2 * np.arange(nc) + 1
+    aux = {
+        "xq": xq, "wq": wq, "xc": xc, "h": h, "area": area,
+        "qlin": qlin, "psi_dim": 3,
+    }
+    return M_loc, B_loc, fdofs, aux
+
+
+def rt1_boundary_flux(space: RT0Space, u_fns):
+    """Essential RT1 flux BC values on boundary edges from exact u.
+
+    Returns (dofs, values): both edge moments ∫ u·n ds and
+    ∫ u·n q ds per boundary edge (4-pt Gauss).
+    """
+    epts, s_param, ew = _edge_gauss(space, 4)
+    qlin = 2.0 * s_param - 1.0
+    be = space.boundary_edges
+    un = (
+        np.stack([f(epts[be].reshape(-1, 2)) for f in u_fns], axis=1)
+        .reshape(len(be), -1, 2)
+    )
+    un = np.einsum("egd,ed->eg", un, space.edge_normals[be])
+    g0 = np.einsum("eg,eg->e", un, ew[be])
+    g1 = np.einsum("eg,eg,g->e", un, ew[be], qlin)
+    dofs = np.concatenate([2 * be, 2 * be + 1])
+    vals = np.concatenate([g0, g1])
+    return dofs, vals
 
 
 def rt0_local_matrices(space: RT0Space, kappa_inv_c: np.ndarray):

@@ -27,6 +27,10 @@ from .mesh import Mesh
 from .spaces import FunctionSpace
 
 _TOL = 1e-10
+# acceptance band for points marginally OUTSIDE every cell (domain-
+# boundary grid lines vs the polygonal mesh boundary); equals the native
+# locator's best_def leniency (pdebench_unstructured.hpp)
+_TOL_BOUNDARY = 1e-6
 
 
 @dataclass
@@ -136,7 +140,8 @@ def locate_points(mesh: Mesh, points: np.ndarray) -> PointLocation:
                 rhs[..., None],
             )[..., 0]
         lam0 = 1.0 - lam.sum(axis=-1)
-        inside = (lam.min(axis=-1) >= -_TOL) & (lam0 >= -_TOL)
+        deficit = np.maximum(-lam.min(axis=-1), -lam0)
+        inside = deficit <= _TOL
         ref = lam
     elif mesh.cell_type == "quadrilateral":
         # axis-aligned rectangles (structured generator)
@@ -144,7 +149,8 @@ def locate_points(mesh: Mesh, points: np.ndarray) -> PointLocation:
         v2 = verts[cand, 2]
         denom = np.where(np.abs(v2 - v0) > 1e-300, v2 - v0, 1.0)
         ref = (pts[:, None, :] - v0) / denom
-        inside = (ref.min(axis=-1) >= -_TOL) & (ref.max(axis=-1) <= 1 + _TOL)
+        deficit = np.maximum(-ref.min(axis=-1), ref.max(axis=-1) - 1.0)
+        inside = deficit <= _TOL
         ref = np.clip(ref, 0.0, 1.0)
     else:  # pragma: no cover
         raise ValueError(mesh.cell_type)
@@ -152,6 +158,21 @@ def locate_points(mesh: Mesh, points: np.ndarray) -> PointLocation:
     inside &= valid
     found = inside.any(axis=1)
     first = np.argmax(inside, axis=1)
+    # boundary leniency, matching the native locator and the reference's
+    # point_value try/catch convention (grid_writer.h:170-181 /
+    # pdebench_unstructured.hpp locate_cell_unstructured): grid lines
+    # that lie EXACTLY on a meshed boundary can fall ~1e-7 outside the
+    # distmesh polygon (boundary nodes are SDF-projected, not snapped);
+    # with only the strict _TOL=1e-10 test those true-boundary points
+    # were NaN'd here but valued by the C++ backend — the entire ~2%
+    # (one grid line, 1/51) mask disagreement on square_with_hole /
+    # multi_hole domains (PARITY.md §2.4 adjudication, round 4).
+    deficit = np.where(valid, deficit, np.inf)
+    best = np.argmin(deficit, axis=1) if deficit.shape[1] else first
+    best_def = deficit[np.arange(P), best]
+    fallback = (~found) & (best_def <= _TOL_BOUNDARY)
+    first = np.where(fallback, best, first)
+    found = found | fallback
     cells_out = np.where(found, cand[np.arange(P), first], -1)
     ref_out = ref[np.arange(P), first]
     ref_out = np.where(found[:, None], ref_out, 0.0)

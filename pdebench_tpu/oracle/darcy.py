@@ -6,7 +6,8 @@ formulation; the benchmark datasets contain no darcy cases (v2 has none,
 SURVEY 2.3) and the mixed form is never exercised by the harness. Here
 the elliptic formulation is implemented on the same pipeline as Poisson
 (with the positive-kappa check of darcy.py:63-70); the H(div) mixed
-form is planned behind the same interface.
+form covers RT0 x DG0 (degree_u=1) and RT1 x DG1 (degree_u=2),
+matching the reference's configurable-order basix construction.
 """
 
 from __future__ import annotations
@@ -129,6 +130,15 @@ class DarcySolver:
 
         t_start = _time.perf_counter()
         pde = config["pde"]
+        degree_u = int(config.get("fem", {}).get("degree_u", 1))
+        if degree_u == 2:
+            # basix 'RT' degree 2 (classic RT1) x DG1
+            return self._solve_mixed_rt1(config, _compute_baseline)
+        if degree_u != 1:
+            raise NotImplementedError(
+                f"mixed darcy supports RT degree 1 (RT0xDG0) and 2 "
+                f"(RT1xDG1); got degree_u={degree_u}"
+            )
         mms = pde.get("manufactured_solution", {})
         p_expr = mms.get("p", mms.get("u"))
         kspec = pde.get("coefficients", {}).get("kappa") or {}
@@ -232,6 +242,150 @@ class DarcySolver:
                 "library": "pdebench_tpu",
                 "pde": "darcy",
                 "formulation": "mixed_rt0_dg0",
+                "ksp_type": "preonly",
+                "pc_type": "lu",
+                "rtol": 1e-10,
+                "iterations": 1,
+                "t_setup": t_setup,
+                "t_cold": t_cold,
+                **info,
+            },
+            num_dofs=N,
+        )
+
+
+    def _solve_mixed_rt1(
+        self, config: Dict[str, Any], _compute_baseline: bool = True
+    ) -> OracleResult:
+        """Mixed RT1 x DG1 (basix 'RT' degree 2): next-order H(div).
+
+        Parity: the reference's configurable-order mixed space
+        (darcy.py:46-61); same weak form, flux BCs and pressure fixing
+        as the RT0 path, with O(h^2) pressure convergence
+        (tests/test_fem_core.py::test_darcy_rt1_convergence_order).
+        """
+        import time as _time
+
+        import scipy.sparse as sps
+        import sympy as sp
+
+        from ..fem import sampling
+        from ..fem.hdiv import rt0_space, rt1_assemble, rt1_boundary_flux
+        from ..solvers import direct as directmod
+
+        t_start = _time.perf_counter()
+        pde = config["pde"]
+        mms = pde.get("manufactured_solution", {})
+        p_expr = mms.get("p", mms.get("u"))
+        kspec = pde.get("coefficients", {}).get("kappa") or {}
+        kappa_np = base.coefficient_fn(kspec or None, 2)
+
+        mesh = base.build_mesh(config["domain"], config.get("mesh", {}))
+        space = rt0_space(mesh)
+
+        def kinv(pts):
+            k = np.asarray(kappa_np(jnp_asarray(pts)))
+            if not np.all(k > 0):
+                raise ValueError(
+                    "darcy permeability must be strictly positive"
+                )
+            return 1.0 / k
+
+        if p_expr is not None:
+            kexpr = kspec.get("expr", kspec.get("value", 1.0)) if kspec else 1.0
+            f_sym = symbolic.poisson_source(p_expr, kexpr, 2)
+            p_sym = symbolic.parse(p_expr)
+            k_sym = symbolic.parse(kexpr)
+            u_sym = [-k_sym * sp.diff(p_sym, v) for v in (symbolic.X, symbolic.Y)]
+            u_fns = [symbolic.lambdify_numpy(e, 2) for e in u_sym]
+        else:
+            f_sym = pde.get("source_term", 0.0)
+            u_fns = None
+        f_fn = symbolic.lambdify_numpy(f_sym, 2)
+
+        M_loc, B_loc, fdofs, aux = rt1_assemble(space, kinv)
+        ne, nc = space.n_edges, mesh.n_cells
+        nf = 2 * ne + 2 * nc  # flux dofs
+        N = nf + 3 * nc
+        pdofs = nf + 3 * np.arange(nc)[:, None] + np.arange(3)[None, :]
+
+        rows_m = np.repeat(fdofs, 8, axis=1).reshape(-1)
+        cols_m = np.tile(fdofs, (1, 8)).reshape(-1)
+        rows_b = np.repeat(pdofs, 8, axis=1).reshape(-1)
+        cols_b = np.tile(fdofs, (1, 3)).reshape(-1)
+        A = sps.coo_matrix(
+            (
+                np.concatenate(
+                    [M_loc.reshape(-1), -B_loc.reshape(-1), B_loc.reshape(-1)]
+                ),
+                (
+                    np.concatenate([rows_m, cols_b, rows_b]),
+                    np.concatenate([cols_m, rows_b, cols_b]),
+                ),
+            ),
+            shape=(N, N),
+        ).tocsr()
+
+        # rhs: (f, psi) over the DG1 test functions
+        xq, wq, xc, h = aux["xq"], aux["wq"], aux["xc"], aux["h"]
+        Xl_q = (xq - xc[:, None, :]) / h[:, None, None]
+        psi = np.stack(
+            [np.ones_like(Xl_q[..., 0]), Xl_q[..., 0], Xl_q[..., 1]],
+            axis=-1,
+        )
+        fq = f_fn(xq.reshape(-1, 2)).reshape(xq.shape[:2])
+        rhs = np.zeros(N)
+        rhs[nf:] = np.einsum("cq,cql->cl", fq * wq, psi).reshape(-1)
+
+        mask = np.zeros(N, dtype=bool)
+        g = np.zeros(N)
+        if u_fns is not None:
+            bd, bv = rt1_boundary_flux(space, u_fns)
+            mask[bd] = True
+            g[bd] = bv
+        # pressure fixing: the constant DG1 coefficient of cell 0 equals
+        # p_h at the centroid (psi_1, psi_2 vanish there)
+        mask[nf] = True
+        if p_expr is not None:
+            g[nf] = float(
+                symbolic.lambdify_numpy(p_expr, 2)(xc[:1])[0]
+            )
+        t_setup = _time.perf_counter() - t_start
+
+        def run():
+            x = directmod.solve_direct_constrained(A, rhs, mask, g)
+            resid = np.linalg.norm((A @ x - rhs)[~mask])
+            pc = x[nf:].reshape(nc, 3)
+            grid_cfg = config["output"]["grid"]
+            pts, shape = sampling.grid_points(grid_cfg)
+            loc = sampling.locate_points(mesh, pts)
+            cells_s = np.maximum(loc.cells, 0)
+            Xl = (pts - xc[cells_s]) / h[cells_s][:, None]
+            vals = (
+                pc[cells_s, 0]
+                + pc[cells_s, 1] * Xl[:, 0]
+                + pc[cells_s, 2] * Xl[:, 1]
+            )
+            vals = np.where(loc.found, vals, np.nan)
+            return vals.reshape(shape), {"residual": float(resid)}
+
+        (fem_grid, info), t_warm, t_cold = base.timed_run(run)
+
+        baseline_error = 0.0
+        if _compute_baseline and p_expr is not None:
+            exact = base.exact_grid_scalar(
+                p_expr, config["output"]["grid"], mask_from=fem_grid
+            )
+            baseline_error = compute_rel_L2_grid(fem_grid, exact)
+
+        return OracleResult(
+            baseline_error=float(baseline_error),
+            baseline_time=float(t_setup + t_warm),
+            reference=fem_grid,
+            solver_info={
+                "library": "pdebench_tpu",
+                "pde": "darcy",
+                "formulation": "mixed_rt1_dg1",
                 "ksp_type": "preonly",
                 "pc_type": "lu",
                 "rtol": 1e-10,

@@ -50,6 +50,9 @@ def main():
                     help="stratified: at most N MMS cases per (pde, domain)")
     ap.add_argument("--ids", nargs="*", default=None,
                     help="extra case ids to include regardless of strata")
+    ap.add_argument("--ids-first", action="store_true",
+                    help="run --ids cases before the strata (guarantees "
+                         "the monsters land under a deadline)")
     ap.add_argument("--equation-types", nargs="*", default=None)
     ap.add_argument("--deadline-epoch", type=float, default=None,
                     help="stop starting new cases after this unix time")
@@ -125,6 +128,9 @@ def main():
         return (heavy, is3d, res, oc["pde"]["type"], oc["domain"]["type"])
 
     todo.sort(key=cost_key)
+    if args.ids_first and args.ids:
+        prio = {cid: i for i, cid in enumerate(args.ids)}
+        todo.sort(key=lambda c: prio.get(c["id"], len(prio)))
     if args.max_cases:
         todo = todo[: args.max_cases]
     print(f"{len(picked)} selected, {len(done)} done, {len(todo)} to run",

