@@ -144,10 +144,18 @@ class NavierStokesSolver:
         _on_tpu = jax.devices()[0].platform in ("tpu", "axon")
         use_dev_init = _init_env != "0" and (_on_tpu or _init_env == "1")
         use_dev_newton = _dev_env == "1"
+        # opt-in A/B (PLAN_r4 #3b): keep host LU for the FIRST Newton
+        # step (Jacobian at the Stokes init is factored once) but solve
+        # LATER steps on device at a loose Eisenstat-Walker eta — the
+        # Jacobian near the solution is far better conditioned than at
+        # zero, so one eta~1e-2 FGMRES-IR may replace host LU #2
+        use_dev_step2 = (
+            os.environ.get("PDEBENCH_TPU_NS_DEVICE_STEP2", "0") == "1"
+        )
 
         parts = None
         sst = None
-        if use_dev_init or use_dev_newton:
+        if use_dev_init or use_dev_newton or use_dev_step2:
             try:
                 parts = mixed.saddle_gmg_precond_parts(
                     V, nu, cb, ctx.psi, dofmap_p, Q.ndof, ctx.mask,
@@ -377,7 +385,11 @@ class NavierStokesSolver:
         # block-diagonal-M FGMRES stalls on the convected Jacobian
         # (CPU+TPU A/B, res 48), and the cell-based saddle apply is
         # ~20x off the stencil — without the lattice the host LU wins.
-        if use_dev_newton and parts is not None and sst is not None:
+        if (
+            (use_dev_newton or use_dev_step2)
+            and parts is not None
+            and sst is not None
+        ):
             from ..fem.assemble import (
                 constrained_operator as _con_op,
             )
@@ -625,7 +637,9 @@ class NavierStokesSolver:
             # semantics preserved: SNES newtonls with 'bt' line
             # search (pdebench/oracle/navier_stokes.py:321-353).
             @jax.jit
-            def newton_device(x0, nu_v, rtol, atol, max_it, update_tol):
+            def _newton_device_impl(
+                x0, nu_v, rtol, atol, max_it, update_tol
+            ):
                 x = jnp.where(mask_j, g_j, x0)
                 r = residual_nu(x, nu_v)
                 rn0 = jnp.linalg.norm(r)
@@ -726,6 +740,9 @@ class NavierStokesSolver:
                 )
                 return x, rn, nlin, kry_its, lin_ok, rn <= tol
 
+            if use_dev_newton:
+                newton_device = _newton_device_impl
+
         def newton(x0, rtol, atol, max_it, update_tol=False):
             import time as _time
 
@@ -765,9 +782,18 @@ class NavierStokesSolver:
                 delta = None
                 flu = None
                 t_l0 = _time.perf_counter()
-                if device_lin is not None:
+                if device_lin is not None and not (
+                    use_dev_step2 and it == 0
+                ):
+                    # step2 mode: loose Eisenstat-Walker forcing — the
+                    # outer loop verifies rn <= tol after the step
+                    eta_lin = (
+                        max(min(1e-2, 0.1 * rn / rn0), 1e-8)
+                        if use_dev_step2
+                        else 1e-8
+                    )
                     d_dev, conv, its_dev = device_lin(
-                        Ju, jnp.asarray(-r), 1e-8
+                        Ju, jnp.asarray(-r), eta_lin
                     )
                     _phase_t["kry_its"] = _phase_t.get(
                         "kry_its", 0
@@ -829,7 +855,7 @@ class NavierStokesSolver:
                 _phase_t["init"] += _time.perf_counter() - _t0
 
         def _stokes_init_impl(nu_init):
-            if device_lin is not None:
+            if device_lin is not None and use_dev_newton:
                 # same constrained saddle solve, on device: rhs carries
                 # the BC lift (constrained_rhs semantics), so the result
                 # is the Stokes SOLUTION, not an increment. Warm-start

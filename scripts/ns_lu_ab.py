@@ -42,7 +42,7 @@ def bench_case():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--arms", nargs="*",
-                    default=["default", "permc", "device"])
+                    default=["default", "permc", "step2", "device"])
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--out", default="results/ns_lu_ab.jsonl")
     args = ap.parse_args()
@@ -62,6 +62,9 @@ def main():
     env_by_arm = {
         "default": {},
         "permc": {"PDEBENCH_TPU_SPLU_PERMC": "MMD_AT_PLUS_A"},
+        "step2": {"PDEBENCH_TPU_NS_DEVICE_STEP2": "1"},
+        "step2_permc": {"PDEBENCH_TPU_NS_DEVICE_STEP2": "1",
+                        "PDEBENCH_TPU_SPLU_PERMC": "MMD_AT_PLUS_A"},
         "device": {"PDEBENCH_TPU_NS_DEVICE_NEWTON": "1"},
     }
     keys = sorted({k for e in env_by_arm.values() for k in e})

@@ -161,6 +161,35 @@ def test_navier_stokes_device_stokes_init_matches(monkeypatch):
     np.testing.assert_allclose(r_dev.reference, r_host.reference, atol=1e-7)
 
 
+def test_navier_stokes_device_step2_matches(monkeypatch):
+    """PDEBENCH_TPU_NS_DEVICE_STEP2=1 (host LU first step, device
+    FGMRES-IR later steps at loose Eisenstat-Walker eta) must land on
+    the default trajectory's answer — the outer loop re-verifies
+    ||F|| <= tol after every step."""
+    cfg = {
+        "pde": {
+            "type": "navier_stokes",
+            "pde_params": {"nu": 0.5},
+            "manufactured_solution": {
+                "u": ["pi*cos(pi*y)*sin(pi*x)", "-pi*cos(pi*x)*sin(pi*y)"],
+                "p": "0",
+            },
+        },
+        "domain": {"type": "unit_square"},
+        "mesh": {"resolution": 12, "cell_type": "triangle"},
+        "fem": {"degree_u": 2, "degree_p": 1},
+        "bc": {"dirichlet": {"on": "all", "value": ["0", "0"]}},
+        "output": {"format": "npz", "field": "velocity_magnitude", "grid": _grid()},
+        "oracle_solver": {"rtol": 1e-9, "atol": 1e-11, "max_it": 30, "init": "stokes"},
+    }
+    monkeypatch.setenv("PDEBENCH_TPU_NS_DEVICE_STEP2", "1")
+    r_s2 = S.solve(cfg)
+    monkeypatch.delenv("PDEBENCH_TPU_NS_DEVICE_STEP2")
+    r_def = S.solve(cfg)
+    assert abs(r_s2.baseline_error - r_def.baseline_error) < 1e-7
+    np.testing.assert_allclose(r_s2.reference, r_def.reference, atol=1e-6)
+
+
 def test_navier_stokes_lid_driven_segments():
     """Segment BCs (lid-driven cavity) exercise the selector DSL."""
     cfg = {
