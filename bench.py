@@ -31,7 +31,10 @@ import time
 # each with a frozen quiet-box CPU proxy like every other suite case.
 _HARD_SUITE_IDS = [
     "helmholtz_3d_k5_trig",  # unit_cube, 91k dofs, 3-D stencil+GMG
-    "convdiff_eccentric_annulus_supg",  # 543k dofs, SUPG, SA-AMG path
+    # TPU-validated in the r4 sweep (158 s); replaces the first pick
+    # convdiff_eccentric_annulus_supg (543k SUPG), whose solve crashed
+    # the axon TPU worker mid-run — adjudication in BASELINE.md #19
+    "biharmonic_circle_test_v2",  # 469k dofs complex-domain biharmonic
     "helmholtz_circle_origin_v2",  # 834k dofs, largest dataset system
 ]
 

@@ -175,9 +175,22 @@ def main():
                         if t_cpu and r.baseline_time > 0 else None),
             )
         except Exception as e:
+            msg = str(e)
             rec.update(ok=False, t_wall=round(time.perf_counter() - t0, 2),
-                       error=f"{type(e).__name__}: {e}",
+                       error=f"{type(e).__name__}: {msg[:400]}",
                        tb=traceback.format_exc()[-600:])
+            # a crashed TPU worker poisons this process's jax client —
+            # every later case would fail UNAVAILABLE in seconds.
+            # Record the trigger case (resume skips it: one attempt per
+            # crashing case) and exit 17 so the wrapper restarts a
+            # fresh process for the remaining cases.
+            if "crashed or restarted" in msg or "UNAVAILABLE" in msg:
+                rec["crash"] = True
+                with out.open("a") as f:
+                    f.write(json.dumps(rec) + "\n")
+                print(f"backend crashed on {case['id']}; exiting for "
+                      f"wrapper restart", flush=True)
+                sys.exit(17)
         with out.open("a") as f:
             f.write(json.dumps(rec) + "\n")
         msg = (f"[{i + 1}/{len(todo)}] {case['id']:<45s} ok={rec['ok']} "
