@@ -29,13 +29,17 @@ import time
 # stratum; these three cover what it left out — a 3-D structured case,
 # a complex-domain SUPG monster, and a >=100k-dof unstructured system —
 # each with a frozen quiet-box CPU proxy like every other suite case.
+# ORDER MATTERS: ascending expected TPU cost, and _suite() appends them
+# AFTER the cheap per-type picks — round 4's capture died (rc=124,
+# parsed=null) because the monsters ran FIRST and the summary printed
+# only at the very end (VERDICT r4 #1). The cheap 11 must always bank.
 _HARD_SUITE_IDS = [
-    "helmholtz_3d_k5_trig",  # unit_cube, 91k dofs, 3-D stencil+GMG
+    "helmholtz_3d_k5_trig",  # unit_cube, 91k dofs, 3-D stencil+GMG (~9 s warm)
     # TPU-validated in the r4 sweep (158 s); replaces the first pick
     # convdiff_eccentric_annulus_supg (543k SUPG), whose solve crashed
     # the axon TPU worker mid-run — adjudication in BASELINE.md #19
-    "biharmonic_circle_test_v2",  # 469k dofs complex-domain biharmonic
-    "helmholtz_circle_origin_v2",  # 834k dofs, largest dataset system
+    "biharmonic_circle_test_v2",  # 469k dofs complex-domain biharmonic (~158 s)
+    "helmholtz_circle_origin_v2",  # 834k dofs, largest dataset system (~226 s)
 ]
 
 
@@ -50,9 +54,6 @@ def _suite(max_per_type: int = 1):
     cases = [json.loads(l) for l in open(path)]
     picked = []
     seen = collections.Counter()
-    if os.environ.get("PDEBENCH_TPU_BENCH_HARD", "1") == "1":
-        by_id = {c["id"]: c for c in cases}
-        picked.extend(by_id[i] for i in _HARD_SUITE_IDS if i in by_id)
     for c in cases:  # preferred: unit_square MMS cases
         oc = c["oracle_config"]
         t = oc["pde"]["type"]
@@ -73,6 +74,11 @@ def _suite(max_per_type: int = 1):
             continue
         picked.append(c)
         seen[t] += 1
+    if os.environ.get("PDEBENCH_TPU_BENCH_HARD", "1") == "1":
+        # monsters LAST, ascending cost: a wall-clock truncation loses
+        # only the most expensive tail cases, never the cheap majority
+        by_id = {c["id"]: c for c in cases}
+        picked.extend(by_id[i] for i in _HARD_SUITE_IDS if i in by_id)
     return picked
 
 
@@ -193,14 +199,71 @@ def _service_sentinel() -> float:
     return best
 
 
+def _summary_line(results, sentinel_s, missing_frozen, truncated,
+                  partial: bool) -> str:
+    """Build the one-line summary JSON over the cases captured so far.
+
+    Emitted after EVERY case (not only at the end): the round-4 capture
+    timed out mid-monster with nothing parseable on stdout (BENCH_r04
+    rc=124 parsed=null). With incremental emission the last stdout JSON
+    line is always a valid (possibly partial) record, whatever kills
+    the process.
+    """
+    import math
+
+    if not results:
+        return json.dumps({"metric": "oracle_solve_time", "value": None,
+                           "unit": "s", "vs_baseline": None,
+                           "sentinel_s": sentinel_s,
+                           **({"truncated": truncated} if truncated else {})})
+    t_tpu = sum(r["t_tpu"] for r in results) / len(results)
+    cpu_ok = [r for r in results if math.isfinite(r["t_cpu"])]
+    # vs_baseline over the SAME subset on both sides: a case with no
+    # frozen CPU time must drop out of the TPU mean too, or the ratio
+    # mixes mismatched case sets (ADVICE r3). `value` keeps the all-case
+    # TPU mean.
+    t_cpu = sum(r["t_cpu"] for r in cpu_ok) / len(cpu_ok) if cpu_ok else float("nan")
+    t_tpu_ok = sum(r["t_tpu"] for r in cpu_ok) / len(cpu_ok) if cpu_ok else float("nan")
+    vs = (t_cpu / t_tpu_ok) if (cpu_ok and t_tpu_ok > 0) else None
+    return json.dumps(
+        {
+            "metric": "oracle_solve_time",
+            "value": round(t_tpu, 4),
+            "unit": "s",
+            "vs_baseline": round(vs, 3) if vs is not None else None,
+            "n_cases": len(results),
+            "types": [r["type"] for r in results],
+            "max_error": max(r["error"] for r in results),
+            # protocol stamp: TPU = best-of-2 whole-case solves (hard
+            # monsters: single pass), each with cold setup caches,
+            # warm-execution timing (best of PDEBENCH_TPU_WARM_REPEATS);
+            # CPU = frozen single cold quiet-box direct solve
+            # (scripts/freeze_cpu_baseline.py)
+            "protocol": "tpu=best2-coldcache-warmexec cpu=frozen-cold-direct",
+            "sentinel_s": sentinel_s,
+            **({"missing_frozen": missing_frozen} if missing_frozen else {}),
+            **({"truncated": truncated} if truncated else {}),
+            **({"partial": True} if partial else {}),
+        }
+    )
+
+
 def main():
     import os
 
     # remote-TPU execution is noisy; take the best of 3 warm passes
     os.environ.setdefault("PDEBENCH_TPU_WARM_REPEATS", "3")
+    # Wall-clock budget for the WHOLE capture. The driver runs bench.py
+    # under a ~1800 s timeout (measured: BENCH_r04 written 30m00s after
+    # the jax-import log line); truncate the hard tail ourselves before
+    # that window closes and stamp the skipped ids. 0 disables.
+    budget_s = float(os.environ.get("PDEBENCH_TPU_BENCH_BUDGET_S", "1650"))
+    t_start = time.perf_counter()
 
     import jax
 
+    if os.environ.get("PDEBENCH_TPU_PLATFORM"):  # offline smoke tests only
+        jax.config.update("jax_platforms", os.environ["PDEBENCH_TPU_PLATFORM"])
     jax.config.update("jax_enable_x64", True)
     # persistent compile cache (wall-time only — baseline_time already
     # excludes compiles); harmless where the backend can't serialize
@@ -228,7 +291,45 @@ def main():
     frozen = _frozen_proxy_times()
     results = []
     missing_frozen = []
-    for case in suite:
+    truncated = []
+    hard_passes = int(os.environ.get("PDEBENCH_TPU_BENCH_HARD_PASSES", "1"))
+    # conservative pre-start cost estimates (cold run incl. compile + 1
+    # warm repeat, x passes) for the monster tail: don't START a monster
+    # that can't finish inside the budget — with incremental emission a
+    # mid-case kill loses no data, but it wastes the driver's remaining
+    # window. Warm costs from the r4 TPU sweep: helm3d 9.4 s, biharm
+    # 158 s, helm_circle 226 s.
+    est_s = {
+        "helmholtz_3d_k5_trig": 140.0 * hard_passes,
+        "biharmonic_circle_test_v2": 430.0 * hard_passes,
+        "helmholtz_circle_origin_v2": 570.0 * hard_passes,
+    }
+
+    # On SIGTERM (the driver's `timeout` sends TERM first) flush a final
+    # partial summary so the capture parses even when the window closes.
+    import signal
+
+    def _on_term(signum, frame):
+        print(_summary_line(results, sentinel_s, missing_frozen,
+                            truncated + ["<killed mid-case>"], partial=True),
+              flush=True)
+        os._exit(0)
+
+    try:
+        signal.signal(signal.SIGTERM, _on_term)
+    except (ValueError, OSError):
+        pass  # non-main thread / exotic platform: incremental lines still land
+
+    for idx, case in enumerate(suite):
+        elapsed = time.perf_counter() - t_start
+        if budget_s and elapsed + est_s.get(case["id"], 0.0) > budget_s:
+            truncated = [c["id"] for c in suite[idx:]]
+            print(
+                f"# budget {budget_s:.0f}s reached at {elapsed:.0f}s — "
+                f"truncating {truncated}",
+                file=sys.stderr,
+            )
+            break
         oc = case["oracle_config"]
         pde_type = oc["pde"]["type"]
         try:
@@ -244,12 +345,25 @@ def main():
             # (ADVICE r3, medium).
             from pdebench_tpu.oracle import base as _obase
 
-            _obase.clear_setup_caches()
-            r = _solve_with_retry(solver, oc, case["id"])
-            _obase.clear_setup_caches()
-            r2 = _solve_with_retry(solver, oc, case["id"])
-            if r2.baseline_time < r.baseline_time:
-                r = r2
+            is_hard = case["id"] in est_s
+            passes = hard_passes if is_hard else 2
+            # minute-scale monsters: 1 warm repeat (the ~10 s service
+            # stalls the repeats guard against are <10% relative there,
+            # and N repeats of a 226 s solve blow the capture window)
+            prev_reps = os.environ.get("PDEBENCH_TPU_WARM_REPEATS")
+            if is_hard:
+                os.environ["PDEBENCH_TPU_WARM_REPEATS"] = "1"
+            try:
+                _obase.clear_setup_caches()
+                r = _solve_with_retry(solver, oc, case["id"])
+                for _ in range(passes - 1):
+                    _obase.clear_setup_caches()
+                    r2 = _solve_with_retry(solver, oc, case["id"])
+                    if r2.baseline_time < r.baseline_time:
+                        r = r2
+            finally:
+                if is_hard and prev_reps is not None:
+                    os.environ["PDEBENCH_TPU_WARM_REPEATS"] = prev_reps
         except (NotImplementedError, ModuleNotFoundError, ImportError):
             continue
         except Exception as e:  # report but keep benching other types
@@ -282,44 +396,14 @@ def main():
             f"# {case['id']}: tpu={r.baseline_time:.3f}s cpu={t_cpu:.3f}s "
             f"err={r.baseline_error:.2e} dofs={r.num_dofs}",
             file=sys.stderr,
+            flush=True,
         )
+        # refresh the running summary after EVERY case (see _summary_line)
+        print(_summary_line(results, sentinel_s, missing_frozen, [],
+                            partial=True), flush=True)
 
-    if not results:
-        print(json.dumps({"metric": "oracle_solve_time", "value": None,
-                          "unit": "s", "vs_baseline": None}))
-        return
-
-    import math
-
-    t_tpu = sum(r["t_tpu"] for r in results) / len(results)
-    cpu_ok = [r for r in results if math.isfinite(r["t_cpu"])]
-    # vs_baseline over the SAME subset on both sides: a case with no
-    # frozen CPU time must drop out of the TPU mean too, or the ratio
-    # mixes mismatched case sets (ADVICE r3). `value` keeps the all-case
-    # TPU mean.
-    t_cpu = sum(r["t_cpu"] for r in cpu_ok) / len(cpu_ok) if cpu_ok else float("nan")
-    t_tpu_ok = sum(r["t_tpu"] for r in cpu_ok) / len(cpu_ok) if cpu_ok else float("nan")
-    vs = (t_cpu / t_tpu_ok) if (cpu_ok and t_tpu_ok > 0) else None
-    print(
-        json.dumps(
-            {
-                "metric": "oracle_solve_time",
-                "value": round(t_tpu, 4),
-                "unit": "s",
-                "vs_baseline": round(vs, 3) if vs is not None else None,
-                "n_cases": len(results),
-                "types": [r["type"] for r in results],
-                "max_error": max(r["error"] for r in results),
-                # protocol stamp: TPU = best-of-2 whole-case solves, each
-                # with cold setup caches, warm-execution timing (best of
-                # PDEBENCH_TPU_WARM_REPEATS); CPU = frozen single cold
-                # quiet-box direct solve (scripts/freeze_cpu_baseline.py)
-                "protocol": "tpu=best2-coldcache-warmexec cpu=frozen-cold-direct",
-                "sentinel_s": sentinel_s,
-                **({"missing_frozen": missing_frozen} if missing_frozen else {}),
-            }
-        )
-    )
+    print(_summary_line(results, sentinel_s, missing_frozen, truncated,
+                        partial=False), flush=True)
 
 
 if __name__ == "__main__":

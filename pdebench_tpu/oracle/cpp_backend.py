@@ -243,14 +243,25 @@ def solve_via_cpp(oracle_config: Dict[str, Any]) -> OracleResult:
             failed = proc.returncode != 0
         except subprocess.TimeoutExpired:
             proc, failed = None, True
-        if failed and "native_solver" not in cfg:
+        # Escalate only when the failure looks like solver weakness
+        # (timeout, or a solver-convergence message on stderr) — a
+        # spec/assembly error would fail identically with stronger ILUT
+        # and burn another full timeout (ADVICE r4).
+        looks_solver = proc is None or any(
+            m in (proc.stderr or "").lower()
+            for m in ("converge", "breakdown", "stagnat", "iteration")
+        )
+        if failed and looks_solver and "native_solver" not in cfg:
             cfg["native_solver"] = {
                 "ilut_tau": 1e-5,
                 "ilut_fill": 160,
                 "restart": 400,
             }
             spec_path.write_text(json.dumps(cfg))
-            proc = _run()
+            try:
+                proc = _run()
+            except subprocess.TimeoutExpired:
+                proc = None  # fall into the existing `proc is None` error
         if proc is None or proc.returncode != 0:
             raise RuntimeError(
                 "native solver failed"

@@ -131,6 +131,18 @@ class DarcySolver:
         t_start = _time.perf_counter()
         pde = config["pde"]
         degree_u = int(config.get("fem", {}).get("degree_u", 1))
+        # the reference builds RT_k x DG_l independently
+        # (reference pdebench/oracle/darcy.py:46-61); here only the
+        # stable RT_k x DG_{k-1} pairings are implemented, so an
+        # explicit degree_p that is not degree_u - 1 must raise rather
+        # than silently solve a different discretization (ADVICE r4)
+        degree_p = config.get("fem", {}).get("degree_p")
+        if degree_p is not None and int(degree_p) != degree_u - 1:
+            raise NotImplementedError(
+                f"mixed darcy supports the stable RT_k x DG_(k-1) "
+                f"pairings only; got degree_u={degree_u}, "
+                f"degree_p={degree_p}"
+            )
         if degree_u == 2:
             # basix 'RT' degree 2 (classic RT1) x DG1
             return self._solve_mixed_rt1(config, _compute_baseline)

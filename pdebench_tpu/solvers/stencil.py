@@ -247,11 +247,28 @@ class BilinearLatticeWeightMap:
         # the dense-then-compress build's bincount over (c, nl^3) keys
         # was 0.4-0.7 s/case of burgers/RD t_setup (PLAN_r4 #4).
         # PDEBENCH_TPU_PBUILD=dense restores the discovery build.
-        if os.environ.get("PDEBENCH_TPU_PBUILD", "tile") == "tile":
+        # Masked lattices are EXCLUDED outright (ADVICE r4, medium): the
+        # ring check only samples boundary strips + a center block, so a
+        # mask whose zeroed rows/taps sit in the deep interior away from
+        # both regions would pass verification with wrong per-step
+        # weights, and a (a, b) pair nonzero only at unsampled sites
+        # would be dropped. Tile-direct is for provably uniform FULL
+        # lattices only; masked ones take the dense discovery build,
+        # whose bincount covers every site.
+        if (
+            os.environ.get("PDEBENCH_TPU_PBUILD", "tile") == "tile"
+            and not lattice.masked
+        ):
             try:
                 if self._direct_build(flat_ij, T_np, n_lat):
                     return
-            except Exception:
+            except Exception as e:
+                import warnings
+
+                warnings.warn(
+                    f"tile-direct P build failed ({type(e).__name__}: {e}); "
+                    f"falling back to the dense discovery build"
+                )
                 self.pairs = None
                 self._compressed = None
         o_idx = (flat_ij // n_lat).astype(np.int64)  # (c, i, j)
@@ -285,8 +302,10 @@ class BilinearLatticeWeightMap:
         sufficient: a site's P row depends only on cells within the
         stencil reach (pad sites), so any site deeper than pad+r from
         the boundary has a cell neighborhood that is an exact translate
-        of the probe block's. Graded or masked lattices fail the ring
-        check and fall back to the dense discovery build. The stored
+        of the probe block's. Graded lattices fail the ring check and
+        fall back to the dense discovery build; masked lattices never
+        enter (guarded in __init__ — the sampled check cannot see
+        interior mask sites). The stored
         (tile, bands) reproduce P_dense()/weights_w_parts() in the same
         equivalence class as the dense compress (interior within the
         1e-6 relative tolerance, bands exact).

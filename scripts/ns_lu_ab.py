@@ -26,8 +26,17 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
+def _dataset_path() -> Path:
+    # repo-first, reference-fallback — same resolution as bench._suite()
+    # so the A/B measures the same case records as the official bench
+    path = REPO / "data" / "benchmark_v2.jsonl"
+    if not path.exists():
+        path = Path("/root/reference/data/benchmark_v2.jsonl")
+    return path
+
+
 def bench_case():
-    for line in open("/root/reference/data/benchmark_v2.jsonl"):
+    for line in open(_dataset_path()):
         c = json.loads(line)
         if c["oracle_config"]["pde"]["type"] == "navier_stokes":
             oc = c["oracle_config"]

@@ -43,7 +43,12 @@ SYSTEM = {"biharmonic", "linear_elasticity", "stokes", "navier_stokes",
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dataset", default="/root/reference/data/benchmark_v2.jsonl")
+    # repo-first, reference-fallback: same resolution as bench._suite()
+    # so the sweep measures the same case records as the official bench
+    _default_ds = REPO / "data" / "benchmark_v2.jsonl"
+    if not _default_ds.exists():
+        _default_ds = Path("/root/reference/data/benchmark_v2.jsonl")
+    ap.add_argument("--dataset", default=str(_default_ds))
     ap.add_argument("--resume-jsonl", default="results/tpu_sweep_r4.jsonl")
     ap.add_argument("--frozen-jsonl", default="results/cpu_baseline_times.jsonl")
     ap.add_argument("--per-combo", type=int, default=2,

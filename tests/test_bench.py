@@ -64,6 +64,42 @@ def test_numerical_errors_not_retried(monkeypatch):
     assert s.calls == 1  # deterministic error: no retry
 
 
+def test_suite_orders_monsters_last():
+    """Round-4 regression: the capture died (rc=124, parsed=null) because
+    the monster cases ran FIRST and burned the driver's whole window. The
+    hard ids must come AFTER every cheap per-type pick, in ascending
+    expected cost."""
+    suite = [c["id"] for c in bench._suite()]
+    n_hard = sum(1 for i in bench._HARD_SUITE_IDS if i in suite)
+    assert n_hard == len(bench._HARD_SUITE_IDS)
+    assert suite[-n_hard:] == [i for i in bench._HARD_SUITE_IDS if i in suite]
+
+
+def test_summary_line_partial_and_truncated():
+    results = [
+        {"id": "a", "type": "poisson", "t_tpu": 1.0, "t_cpu": 4.0,
+         "error": 1e-4, "num_dofs": 100},
+        {"id": "b", "type": "heat", "t_tpu": 2.0, "t_cpu": float("nan"),
+         "error": 2e-4, "num_dofs": 100},
+    ]
+    import json
+
+    partial = json.loads(bench._summary_line(results, 0.03, ["b"], [],
+                                             partial=True))
+    assert partial["partial"] is True
+    assert partial["n_cases"] == 2
+    # vs_baseline over the frozen subset only (case a): 4.0 / 1.0
+    assert partial["vs_baseline"] == 4.0
+    # all-case TPU mean
+    assert partial["value"] == 1.5
+    final = json.loads(bench._summary_line(results, 0.03, [], ["big_case"],
+                                           partial=False))
+    assert "partial" not in final
+    assert final["truncated"] == ["big_case"]
+    empty = json.loads(bench._summary_line([], None, [], [], partial=True))
+    assert empty["value"] is None
+
+
 def test_all_bench_suite_cases_are_frozen():
     """Every case bench.py would run must have a frozen CPU baseline;
     otherwise the official record silently loses its vs_baseline signal."""
