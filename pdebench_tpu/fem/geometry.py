@@ -99,7 +99,11 @@ def d_polygon(verts: np.ndarray) -> SDF:
         ap = q[:, None, :] - a[None, :, :]  # (P, E, 2)
         t = np.clip((ap * ab[None]).sum(-1) / ab2[None], 0.0, 1.0)
         proj = a[None] + t[..., None] * ab[None]
-        dist = np.linalg.norm(q[:, None, :] - proj, axis=-1).min(axis=1)
+        # sqrt AFTER the min: bit-identical to min-of-norms (sqrt is
+        # monotone and correctly rounded) but one (P,) sqrt instead of
+        # a (P, E) one — the polygon SDF is the distmesh hot loop
+        d2 = ((q[:, None, :] - proj) ** 2).sum(-1)
+        dist = np.sqrt(d2.min(axis=1))
         # even-odd rule for sign
         x, y = q[:, 0, None], q[:, 1, None]
         ax, ay = a[None, :, 0], a[None, :, 1]
@@ -116,6 +120,25 @@ def d_polygon(verts: np.ndarray) -> SDF:
 # ---------------------------------------------------------------------------
 # distmesh (Persson-Strang) — uniform target edge length
 # ---------------------------------------------------------------------------
+
+
+def _unique_edges(tri: np.ndarray, n_points: int) -> np.ndarray:
+    """Deduplicated sorted edge list of a triangulation.
+
+    Equivalent to np.unique(np.sort(edges, axis=1), axis=0) but packs
+    each sorted pair into one int64 key first — unique over 1-D ints is
+    ~10x faster than the axis=0 void-view path, and the packed order
+    equals the lexicographic row order (b < n_points), so the output is
+    bit-identical."""
+    e = np.sort(
+        np.concatenate([tri[:, [0, 1]], tri[:, [1, 2]], tri[:, [2, 0]]]),
+        axis=1,
+    )
+    key = e[:, 0].astype(np.int64) * n_points + e[:, 1]
+    key = np.unique(key)
+    out = np.empty((len(key), 2), dtype=tri.dtype)
+    out[:, 0], out[:, 1] = divmod(key, n_points)
+    return out
 
 
 def distmesh2d(
@@ -158,15 +181,7 @@ def distmesh2d(
             tri = Delaunay(p).simplices
             cent = p[tri].mean(axis=1)
             tri = tri[fd(cent) < -geps]
-            bars = np.unique(
-                np.sort(
-                    np.concatenate(
-                        [tri[:, [0, 1]], tri[:, [1, 2]], tri[:, [2, 0]]]
-                    ),
-                    axis=1,
-                ),
-                axis=0,
-            )
+            bars = _unique_edges(tri, len(p))
         barvec = p[bars[:, 0]] - p[bars[:, 1]]
         L = np.linalg.norm(barvec, axis=1)
         L0 = Fscale * math.sqrt((L * L).sum() / len(L))
@@ -183,8 +198,13 @@ def distmesh2d(
         ix = d > 0
         if np.any(ix):
             px = p[ix]
-            dgx = (fd(px + [deps, 0]) - fd(px - [deps, 0])) / (2 * deps)
-            dgy = (fd(px + [0, deps]) - fd(px - [0, deps])) / (2 * deps)
+            # one vectorized SDF call for all four FD-gradient shifts
+            sh = np.concatenate(
+                [px + [deps, 0], px - [deps, 0], px + [0, deps], px - [0, deps]]
+            )
+            v = fd(sh).reshape(4, -1)
+            dgx = (v[0] - v[1]) / (2 * deps)
+            dgy = (v[2] - v[3]) / (2 * deps)
             g2 = np.maximum(dgx * dgx + dgy * dgy, 1e-300)
             p[ix] = px - (d[ix] / g2)[:, None] * np.stack([dgx, dgy], axis=1)
 
@@ -200,13 +220,7 @@ def distmesh2d(
         tri = Delaunay(p).simplices
         cent = p[tri].mean(axis=1)
         tri = tri[fd(cent) < -geps]
-        bars = np.unique(
-            np.sort(
-                np.concatenate([tri[:, [0, 1]], tri[:, [1, 2]], tri[:, [2, 0]]]),
-                axis=1,
-            ),
-            axis=0,
-        )
+        bars = _unique_edges(tri, len(p))
         L = np.linalg.norm(p[bars[:, 0]] - p[bars[:, 1]], axis=1)
         short = bars[L < 0.35 * h0]
         if not len(short):

@@ -103,6 +103,13 @@ def clear_setup_caches() -> None:
         fn = getattr(symbolic, fn_name, None)
         if fn is not None and hasattr(fn, "cache_clear"):
             fn.cache_clear()
+    # the distmesh lru (fem/geometry._mesh_domain_cached) survived the
+    # r4 protocol "cold" pass — meshing a complex domain is 1-3 s of
+    # genuine per-case setup the frozen CPU single-cold-solve charges,
+    # so the TPU passes must charge it too (round-5 protocol fix)
+    from ..fem import geometry as _geometry
+
+    _geometry._mesh_domain_cached.cache_clear()
 
 
 # ---------------------------------------------------------------------------

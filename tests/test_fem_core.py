@@ -308,3 +308,59 @@ class TestConstrainedLU:
             flu.solve(b), dm.solve_direct_constrained(A, b),
             rtol=1e-12, atol=1e-12,
         )
+
+
+class TestAffineFastPath:
+    """The affine-host GEMM assembly (assemble.affine_host) must match
+    the generic einsum path to reassociation precision — the fast path
+    is the production setup route for every simplex mesh (135x on 3-D
+    P2 stiffness, round-5 microbench)."""
+
+    @staticmethod
+    def _einsum_cb(cb):
+        # jax-typed geometry disables the affine-host fast path, forcing
+        # the original einsum formulation on identical data
+        import dataclasses
+        import jax.numpy as jnp
+
+        return dataclasses.replace(
+            cb,
+            invJ=jnp.asarray(cb.invJ),
+            detJ=jnp.asarray(cb.detJ),
+        )
+
+    @pytest.mark.parametrize("dim,deg", [(2, 1), (2, 2), (3, 2)])
+    def test_stiffness_and_advection_match(self, dim, deg):
+        m = (
+            meshmod.unit_square_mesh(6)
+            if dim == 2
+            else meshmod.unit_cube_mesh(3)
+        )
+        cb = assemble.cell_batch(m, deg)
+        cbj = self._einsum_cb(cb)
+        assert cb.affine_host() is not None
+        assert cbj.affine_host() is None
+        rng = np.random.default_rng(7)
+        coef = rng.random((cb.n_cells, len(np.asarray(cb.qw))))
+        beta = rng.standard_normal(
+            (cb.n_cells, len(np.asarray(cb.qw)), dim)
+        )
+        tau = rng.random(cb.n_cells)
+        for a, b in [
+            (assemble.local_stiffness(cb), assemble.local_stiffness(cbj)),
+            (
+                assemble.local_stiffness(cb, coef),
+                assemble.local_stiffness(cbj, coef),
+            ),
+            (
+                assemble.local_advection(cb, beta),
+                assemble.local_advection(cbj, beta),
+            ),
+            (
+                assemble.local_supg(cb, beta, tau, 0.3),
+                assemble.local_supg(cbj, beta, tau, 0.3),
+            ),
+        ]:
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(b).max(), 1e-300)
+            assert np.abs(a - b).max() / scale < 1e-12

@@ -91,6 +91,20 @@ class TestPoisson:
         assert res.baseline_error < 5e-3
 
     def test_direct_solver_path(self):
+        # structured preonly/lu reroutes through the stencil-GMG IR at
+        # direct-class tolerance (the Stokes preonly/lu policy extended
+        # to scalar lattices — helmholtz_3d_k6_high's 185k host LU was
+        # ~30 min of fill on the 1-core host); residual must be in the
+        # direct-solve class and the literal LU stays reachable by env
+        res = OracleSolver().solve(
+            poisson_case(resolution=16, ksp="preonly", pc="lu")
+        )
+        assert res.solver_info["direct_rerouted"] == "stencil-ir"
+        assert res.solver_info["residual"] < 1e-9
+        assert res.baseline_error < 2e-2
+
+    def test_direct_solver_path_forced(self, monkeypatch):
+        monkeypatch.setenv("PDEBENCH_TPU_STRUCTURED_LU", "direct")
         res = OracleSolver().solve(
             poisson_case(resolution=16, ksp="preonly", pc="lu")
         )
