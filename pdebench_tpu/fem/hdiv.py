@@ -1,11 +1,13 @@
-"""Raviart-Thomas (RT0 x DG0 and RT1 x DG1) mixed spaces on triangles.
+"""Raviart-Thomas (RT0 x DG0 and general RT_k x DG_k) mixed spaces on
+triangles.
 
 H(div)-conforming flux spaces for the mixed Darcy formulation
 (reference: pdebench/oracle/darcy.py:46-61 builds RT_k x DG_l through
 basix with configurable order; no benchmark case exercises it, but the
 capability is part of the oracle inventory). RT0 uses the closed-form
-edge basis below; RT1 (basix 'RT' degree 2) tabulates per-cell bases
-numerically from the standard dof functionals (rt1_assemble).
+edge basis below; RT_k for any k >= 1 (basix 'RT' degree k+1)
+tabulates per-cell bases numerically from the standard dof functionals
+(rtk_assemble), matching basix's generality for the stable pairing.
 Array-native RT0 construction:
 
   - flux dofs = global mesh edges, oriented low->high vertex index;
@@ -100,23 +102,73 @@ def _edge_gauss(space: RT0Space, npts: int = 2):
     return pts, s, wts
 
 
-def rt1_assemble(space: RT0Space, kappa_inv_fn, qdeg: int = 5):
-    """RT1 x DG1 local system (basix 'RT' degree 2 — the next order
-    after RT0; reference: pdebench/oracle/darcy.py:46-61 builds RT_k x
-    DG_l through basix for configurable k).
+def _monomial_exponents(k: int):
+    """Exponent table for the RT_k monomial basis and DG bases.
 
-    Per-cell numerically-tabulated basis: the 8-dim RT1 space
-    span{(1,0),(X,0),(Y,0),(0,1),(0,X),(0,Y), X(X,Y), Y(X,Y)} in
-    cell-local scaled coordinates X=(x-xc)/h, with the standard dofs —
-    two normal moments per edge (constant + linear Legendre along the
-    GLOBAL edge orientation) and two interior moments against (P0)^2.
-    Inverting the 8x8 generalized Vandermonde per cell (batched host
-    numpy) yields physical basis functions directly; no Piola map or
-    reference-orientation cases needed, and conformity is automatic
-    because adjacent cells share the global edge functionals.
+    Vector part: (a, b, comp) for a+b <= k, both components;
+    homogeneous part: x^a y^b (x, y) for a+b == k.
+    dim = 2*(k+1)(k+2)/2 + (k+1) = (k+1)(k+3).
+    """
+    poly = [(a, b) for d in range(k + 1) for a in range(d, -1, -1)
+            for b in (d - a,)]
+    vec = [(a, b, comp) for comp in (0, 1) for (a, b) in poly]
+    hom = [(a, b) for (a, b) in poly if a + b == k]
+    return poly, vec, hom
 
-    Returns (M_loc (c,8,8), B_loc (c,3,8), fdofs (c,8) global flux dof
-    ids, aux) where aux carries what BC construction and sampling need.
+
+def _legendre_01(j: int, s: np.ndarray) -> np.ndarray:
+    """Legendre P_j shifted to [0, 1]."""
+    c = np.zeros(j + 1)
+    c[j] = 1.0
+    return np.polynomial.legendre.legval(2.0 * s - 1.0, c)
+
+
+def rtk_tabulate(k: int, Xl: np.ndarray):
+    """(values (..., ndof, 2), divergences (..., ndof)) of the RT_k
+    monomial basis at local scaled coords Xl (..., 2). Physical
+    divergence needs the extra 1/h factor (d/dx = (1/h) d/dX)."""
+    poly, vec, hom = _monomial_exponents(k)
+    x, y = Xl[..., 0], Xl[..., 1]
+    vals = np.zeros(Xl.shape[:-1] + (len(vec) + len(hom), 2))
+    divs = np.zeros(Xl.shape[:-1] + (len(vec) + len(hom),))
+    for j, (a, b, comp) in enumerate(vec):
+        m = x**a * y**b
+        vals[..., j, comp] = m
+        d = a if comp == 0 else b
+        if d > 0:
+            divs[..., j] = d * (
+                x ** (a - 1) * y**b if comp == 0 else x**a * y ** (b - 1)
+            )
+    for jj, (a, b) in enumerate(hom):
+        j = len(vec) + jj
+        m = x**a * y**b
+        vals[..., j, 0] = m * x
+        vals[..., j, 1] = m * y
+        divs[..., j] = (a + b + 2) * m
+    return vals, divs
+
+
+def rtk_assemble(space: RT0Space, kappa_inv_fn, k: int = 1,
+                 qdeg: int = 0):
+    """RT_k x DG_k local system for any k >= 1 (basix 'RT' degree k+1;
+    reference: pdebench/oracle/darcy.py:46-61 builds RT_k x DG_l
+    through basix for configurable order — this is the same generality
+    for the stable RT_k x DG_k pairing, triangles).
+
+    Per-cell numerically-tabulated basis in cell-local scaled
+    coordinates X=(x-xc)/h with the standard dofs — k+1 normal moments
+    per edge against Legendre P_0..P_k along the GLOBAL edge
+    orientation, and k(k+1) interior moments against (P_{k-1})^2.
+    Inverting the ndof x ndof generalized Vandermonde per cell
+    (batched host numpy) yields physical basis functions directly; no
+    Piola map or reference-orientation cases needed, and conformity is
+    automatic because adjacent cells share the global edge functionals.
+    (Conditioning of the monomial Vandermonde degrades ~exponentially
+    in k; fine through k~4, which covers every practical order.)
+
+    Returns (M_loc (c,nd,nd), B_loc (c,npl,nd), fdofs (c,nd) global
+    flux dof ids, aux). k=1 reproduces the original RT1 x DG1 path
+    (same dof layout and quadrature).
     """
     mesh = space.mesh
     cells = mesh.cells.astype(np.int64)
@@ -130,39 +182,33 @@ def rt1_assemble(space: RT0Space, kappa_inv_fn, qdeg: int = 5):
     xc = v.mean(axis=1)  # (c, 2)
     h = np.sqrt(area)  # local length scale (conditioning)
 
-    def mono(Xl):
-        """(…, 2) local coords -> values (…, 8, 2) of the 8 monomials."""
-        x, y = Xl[..., 0], Xl[..., 1]
-        o = np.zeros_like(x)
-        e = np.ones_like(x)
-        mx = np.stack([e, x, y, o, o, o, x * x, x * y], axis=-1)
-        my = np.stack([o, o, o, e, x, y, x * y, y * y], axis=-1)
-        return np.stack([mx, my], axis=-1)
-
-    def mono_div(Xl, h_):
-        """Physical divergence of the monomials (d/dx = (1/h) d/dX)."""
-        x, y = Xl[..., 0], Xl[..., 1]
-        o = np.zeros_like(x)
-        e = np.ones_like(x)
-        return np.stack(
-            [o, e, o, o, o, e, 3.0 * x, 3.0 * y], axis=-1
-        ) / h_[..., None]
+    poly, vec, hom = _monomial_exponents(k)
+    nd = len(vec) + len(hom)  # (k+1)(k+3)
+    nem = k + 1  # edge moments per edge
+    psi_exp = poly  # DG_k pressure monomials, npl = (k+1)(k+2)/2
+    int_exp = [(a, b) for (a, b) in poly if a + b <= k - 1]
+    nint = 2 * len(int_exp)  # k(k+1)
+    assert 3 * nem + nint == nd
 
     # --- generalized Vandermonde -----------------------------------------
-    epts, s_param, ew = _edge_gauss(space, 2)  # exact to edge-degree 3
-    qlin = 2.0 * s_param - 1.0  # Legendre P1 along the global edge
+    # edge integrand degree <= (k+1) + k = 2k+1 -> npts = k+1 exact
+    epts, s_param, ew = _edge_gauss(space, max(2, k + 1))
+    leg = np.stack(
+        [_legendre_01(j, s_param) for j in range(nem)]
+    )  # (nem, g)
     ce = space.cell_edges  # (c, 3)
-    # edge quadrature data gathered per cell edge: (c, 3, g, 2)
-    ep_c = epts[ce]
+    ep_c = epts[ce]  # (c, 3, g, 2)
     ew_c = ew[ce]
     n_c = space.edge_normals[ce]  # (c, 3, 2) global normals
     Xl_e = (ep_c - xc[:, None, None, :]) / h[:, None, None, None]
-    m_e = mono(Xl_e)  # (c, 3, g, 8, 2)
-    mn = np.einsum("cegjd,ced->cegj", m_e, n_c)  # (c, 3, g, 8)
-    mom0 = np.einsum("cegj,ceg->cej", mn, ew_c)  # (c, 3, 8)
-    mom1 = np.einsum("cegj,ceg,g->cej", mn, ew_c, qlin)
+    m_e, _ = rtk_tabulate(k, Xl_e)  # (c, 3, g, nd, 2)
+    mn = np.einsum("cegjd,ced->cegj", m_e, n_c)  # (c, 3, g, nd)
+    mom = np.einsum("cegj,ceg,pg->cepj", mn, ew_c, leg)  # (c, 3, nem, nd)
+
     # interior moments: reference-triangle quadrature mapped to the cell
-    rpts, rwts = refelem.quadrature("triangle", max(qdeg, 2))
+    if qdeg <= 0:
+        qdeg = max(2 * k + 3, 2)
+    rpts, rwts = refelem.quadrature("triangle", qdeg)
     xq = (
         v[:, 0][:, None, :]
         + rpts[None, :, 0:1] * e1[:, None, :]
@@ -170,56 +216,78 @@ def rt1_assemble(space: RT0Space, kappa_inv_fn, qdeg: int = 5):
     )  # (c, q, 2)
     wq = rwts[None, :] * np.abs(detJ)[:, None]  # sums to area per cell
     Xl_q = (xq - xc[:, None, :]) / h[:, None, None]
-    m_q = mono(Xl_q)  # (c, q, 8, 2)
-    int_mom = np.einsum("cqjd,cq->cdj", m_q, wq)  # (c, 2, 8)
+    m_q, div_q = rtk_tabulate(k, Xl_q)  # (c, q, nd, 2), (c, q, nd)
 
-    V = np.empty((nc, 8, 8))
-    V[:, 0:6:2, :] = mom0  # edge constant moments (rows 0, 2, 4)
-    V[:, 1:6:2, :] = mom1  # edge linear moments (rows 1, 3, 5)
-    V[:, 6:8, :] = int_mom
-    C = np.linalg.inv(V)  # (c, 8, 8): phi_i = sum_j C[c, j, i] m_j
+    V = np.empty((nc, nd, nd))
+    V[:, : 3 * nem, :] = mom.reshape(nc, 3 * nem, nd)
+    if nint:
+        pint = np.stack(
+            [Xl_q[..., 0] ** a * Xl_q[..., 1] ** b for (a, b) in int_exp],
+            axis=-1,
+        )  # (c, q, |int_exp|)
+        V[:, 3 * nem :, :] = np.einsum(
+            "cqjd,cqp,cq->cpdj", m_q, pint, wq
+        ).reshape(nc, nint, nd)
+    C = np.linalg.inv(V)  # (c, nd, nd): phi_i = sum_j C[c, j, i] m_j
 
     # --- local matrices ---------------------------------------------------
     kinv_q = np.asarray(kappa_inv_fn(xq))  # (c, q)
-    phi = np.einsum("cqjd,cji->cqid", m_q, C)  # (c, q, 8, 2)
+    phi = np.einsum("cqjd,cji->cqid", m_q, C)  # (c, q, nd, 2)
     M_loc = np.einsum("cqid,cqjd,cq->cij", phi, phi, wq * kinv_q)
-    dphi = np.einsum("cqj,cji->cqi", mono_div(Xl_q, h[:, None]), C)
+    dphi = np.einsum("cqj,cji->cqi", div_q / h[:, None, None], C)
     psi = np.stack(
-        [np.ones_like(Xl_q[..., 0]), Xl_q[..., 0], Xl_q[..., 1]], axis=-1
-    )  # (c, q, 3) DG1 basis in local coords
-    B_loc = np.einsum("cqi,cql,cq->cli", dphi, psi, wq)  # (c, 3, 8)
+        [Xl_q[..., 0] ** a * Xl_q[..., 1] ** b for (a, b) in psi_exp],
+        axis=-1,
+    )  # (c, q, npl) DG_k basis in local coords
+    B_loc = np.einsum("cqi,cql,cq->cli", dphi, psi, wq)  # (c, npl, nd)
 
-    fdofs = np.empty((nc, 8), dtype=np.int64)
-    fdofs[:, 0:6:2] = 2 * ce
-    fdofs[:, 1:6:2] = 2 * ce + 1
-    fdofs[:, 6] = 2 * ne + 2 * np.arange(nc)
-    fdofs[:, 7] = 2 * ne + 2 * np.arange(nc) + 1
+    car = np.arange(nc)
+    fdofs = np.empty((nc, nd), dtype=np.int64)
+    fdofs[:, : 3 * nem] = (
+        nem * ce[:, :, None] + np.arange(nem)[None, None, :]
+    ).reshape(nc, 3 * nem)
+    fdofs[:, 3 * nem :] = (
+        nem * ne + nint * car[:, None] + np.arange(nint)[None, :]
+    )
     aux = {
         "xq": xq, "wq": wq, "xc": xc, "h": h, "area": area,
-        "qlin": qlin, "psi_dim": 3,
+        "psi_exp": psi_exp, "psi_dim": len(psi_exp), "k": k, "nd": nd,
+        "nem": nem, "nint": nint,
     }
     return M_loc, B_loc, fdofs, aux
 
 
-def rt1_boundary_flux(space: RT0Space, u_fns):
-    """Essential RT1 flux BC values on boundary edges from exact u.
+def rt1_assemble(space: RT0Space, kappa_inv_fn, qdeg: int = 5):
+    """RT1 x DG1 (basix 'RT' degree 2): the k=1 instance of
+    rtk_assemble, kept as the named entry the oracle and tests built
+    against (same dof layout, quadrature and moments)."""
+    return rtk_assemble(space, kappa_inv_fn, k=1, qdeg=qdeg)
 
-    Returns (dofs, values): both edge moments ∫ u·n ds and
-    ∫ u·n q ds per boundary edge (4-pt Gauss).
-    """
-    epts, s_param, ew = _edge_gauss(space, 4)
-    qlin = 2.0 * s_param - 1.0
+
+def rtk_boundary_flux(space: RT0Space, u_fns, k: int = 1):
+    """Essential RT_k flux BC values on boundary edges from exact u.
+
+    Returns (dofs, values): the k+1 edge moments ∫ u·n P_j ds per
+    boundary edge (Gauss with k+3 points — exact for polynomial u·n of
+    degree up to k+5, ample for the MMS fields)."""
+    nem = k + 1
+    epts, s_param, ew = _edge_gauss(space, k + 3)
+    leg = np.stack([_legendre_01(j, s_param) for j in range(nem)])
     be = space.boundary_edges
     un = (
         np.stack([f(epts[be].reshape(-1, 2)) for f in u_fns], axis=1)
         .reshape(len(be), -1, 2)
     )
     un = np.einsum("egd,ed->eg", un, space.edge_normals[be])
-    g0 = np.einsum("eg,eg->e", un, ew[be])
-    g1 = np.einsum("eg,eg,g->e", un, ew[be], qlin)
-    dofs = np.concatenate([2 * be, 2 * be + 1])
-    vals = np.concatenate([g0, g1])
-    return dofs, vals
+    gm = np.einsum("eg,eg,pg->ep", un, ew[be], leg)  # (nb, nem)
+    dofs = (nem * be[:, None] + np.arange(nem)[None, :]).reshape(-1)
+    return dofs, gm.reshape(-1)
+
+
+def rt1_boundary_flux(space: RT0Space, u_fns):
+    """Essential RT1 flux BC values on boundary edges from exact u
+    (the k=1 instance of rtk_boundary_flux)."""
+    return rtk_boundary_flux(space, u_fns, k=1)
 
 
 def rt0_local_matrices(space: RT0Space, kappa_inv_c: np.ndarray):

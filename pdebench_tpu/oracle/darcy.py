@@ -143,13 +143,15 @@ class DarcySolver:
                 f"pairings only; got degree_u={degree_u}, "
                 f"degree_p={degree_p}"
             )
-        if degree_u == 2:
-            # basix 'RT' degree 2 (classic RT1) x DG1
-            return self._solve_mixed_rt1(config, _compute_baseline)
+        if degree_u >= 2:
+            # basix 'RT' degree m (RT_{m-1} x DG_{m-1}) for any order,
+            # matching the reference's configurable-order generality
+            return self._solve_mixed_rtk(
+                config, k=degree_u - 1, _compute_baseline=_compute_baseline
+            )
         if degree_u != 1:
             raise NotImplementedError(
-                f"mixed darcy supports RT degree 1 (RT0xDG0) and 2 "
-                f"(RT1xDG1); got degree_u={degree_u}"
+                f"mixed darcy needs degree_u >= 1; got {degree_u}"
             )
         mms = pde.get("manufactured_solution", {})
         p_expr = mms.get("p", mms.get("u"))
@@ -269,12 +271,19 @@ class DarcySolver:
     def _solve_mixed_rt1(
         self, config: Dict[str, Any], _compute_baseline: bool = True
     ) -> OracleResult:
-        """Mixed RT1 x DG1 (basix 'RT' degree 2): next-order H(div).
+        return self._solve_mixed_rtk(config, 1, _compute_baseline)
+
+    def _solve_mixed_rtk(
+        self, config: Dict[str, Any], k: int = 1,
+        _compute_baseline: bool = True,
+    ) -> OracleResult:
+        """Mixed RT_k x DG_k (basix 'RT' degree k+1) for any k >= 1.
 
         Parity: the reference's configurable-order mixed space
         (darcy.py:46-61); same weak form, flux BCs and pressure fixing
-        as the RT0 path, with O(h^2) pressure convergence
-        (tests/test_fem_core.py::test_darcy_rt1_convergence_order).
+        as the RT0 path, with O(h^{k+1}) pressure convergence
+        (tests/test_fem_core.py: test_darcy_rt1_convergence_order and
+        test_darcy_rt2_convergence_order).
         """
         import time as _time
 
@@ -282,7 +291,7 @@ class DarcySolver:
         import sympy as sp
 
         from ..fem import sampling
-        from ..fem.hdiv import rt0_space, rt1_assemble, rt1_boundary_flux
+        from ..fem.hdiv import rt0_space, rtk_assemble, rtk_boundary_flux
         from ..solvers import direct as directmod
 
         t_start = _time.perf_counter()
@@ -315,16 +324,18 @@ class DarcySolver:
             u_fns = None
         f_fn = symbolic.lambdify_numpy(f_sym, 2)
 
-        M_loc, B_loc, fdofs, aux = rt1_assemble(space, kinv)
+        M_loc, B_loc, fdofs, aux = rtk_assemble(space, kinv, k=k)
         ne, nc = space.n_edges, mesh.n_cells
-        nf = 2 * ne + 2 * nc  # flux dofs
-        N = nf + 3 * nc
-        pdofs = nf + 3 * np.arange(nc)[:, None] + np.arange(3)[None, :]
+        nd, nem, nint = aux["nd"], aux["nem"], aux["nint"]
+        npl = aux["psi_dim"]
+        nf = nem * ne + nint * nc  # flux dofs
+        N = nf + npl * nc
+        pdofs = nf + npl * np.arange(nc)[:, None] + np.arange(npl)[None, :]
 
-        rows_m = np.repeat(fdofs, 8, axis=1).reshape(-1)
-        cols_m = np.tile(fdofs, (1, 8)).reshape(-1)
-        rows_b = np.repeat(pdofs, 8, axis=1).reshape(-1)
-        cols_b = np.tile(fdofs, (1, 3)).reshape(-1)
+        rows_m = np.repeat(fdofs, nd, axis=1).reshape(-1)
+        cols_m = np.tile(fdofs, (1, nd)).reshape(-1)
+        rows_b = np.repeat(pdofs, nd, axis=1).reshape(-1)
+        cols_b = np.tile(fdofs, (1, npl)).reshape(-1)
         A = sps.coo_matrix(
             (
                 np.concatenate(
@@ -338,11 +349,12 @@ class DarcySolver:
             shape=(N, N),
         ).tocsr()
 
-        # rhs: (f, psi) over the DG1 test functions
+        # rhs: (f, psi) over the DG_k test functions
         xq, wq, xc, h = aux["xq"], aux["wq"], aux["xc"], aux["h"]
+        psi_exp = aux["psi_exp"]
         Xl_q = (xq - xc[:, None, :]) / h[:, None, None]
         psi = np.stack(
-            [np.ones_like(Xl_q[..., 0]), Xl_q[..., 0], Xl_q[..., 1]],
+            [Xl_q[..., 0] ** a * Xl_q[..., 1] ** b for (a, b) in psi_exp],
             axis=-1,
         )
         fq = f_fn(xq.reshape(-1, 2)).reshape(xq.shape[:2])
@@ -352,11 +364,12 @@ class DarcySolver:
         mask = np.zeros(N, dtype=bool)
         g = np.zeros(N)
         if u_fns is not None:
-            bd, bv = rt1_boundary_flux(space, u_fns)
+            bd, bv = rtk_boundary_flux(space, u_fns, k=k)
             mask[bd] = True
             g[bd] = bv
-        # pressure fixing: the constant DG1 coefficient of cell 0 equals
-        # p_h at the centroid (psi_1, psi_2 vanish there)
+        # pressure fixing: the constant DG_k coefficient of cell 0
+        # equals p_h at the centroid (every non-constant local monomial
+        # vanishes at Xl = 0)
         mask[nf] = True
         if p_expr is not None:
             g[nf] = float(
@@ -367,17 +380,17 @@ class DarcySolver:
         def run():
             x = directmod.solve_direct_constrained(A, rhs, mask, g)
             resid = np.linalg.norm((A @ x - rhs)[~mask])
-            pc = x[nf:].reshape(nc, 3)
+            pc = x[nf:].reshape(nc, npl)
             grid_cfg = config["output"]["grid"]
             pts, shape = sampling.grid_points(grid_cfg)
             loc = sampling.locate_points(mesh, pts)
             cells_s = np.maximum(loc.cells, 0)
             Xl = (pts - xc[cells_s]) / h[cells_s][:, None]
-            vals = (
-                pc[cells_s, 0]
-                + pc[cells_s, 1] * Xl[:, 0]
-                + pc[cells_s, 2] * Xl[:, 1]
-            )
+            basis = np.stack(
+                [Xl[:, 0] ** a * Xl[:, 1] ** b for (a, b) in psi_exp],
+                axis=-1,
+            )  # (P, npl)
+            vals = (pc[cells_s] * basis).sum(axis=-1)
             vals = np.where(loc.found, vals, np.nan)
             return vals.reshape(shape), {"residual": float(resid)}
 
@@ -397,7 +410,7 @@ class DarcySolver:
             solver_info={
                 "library": "pdebench_tpu",
                 "pde": "darcy",
-                "formulation": "mixed_rt1_dg1",
+                "formulation": f"mixed_rt{k}_dg{k}",
                 "ksp_type": "preonly",
                 "pc_type": "lu",
                 "rtol": 1e-10,
