@@ -355,6 +355,59 @@ def local_elasticity(
                      + lam dphi_i/dx_a dphi_j/dx_b
     Reference weak form: pdebench/oracle/linear_elasticity.py:225-231.
     """
+    aff = cb.affine_host()
+
+    def _cellwise(coef):
+        """coef as a per-cell (c,) host array, or None if it varies
+        per quadrature point / is traced."""
+        if _any_jax(coef):
+            return None
+        a = np.asarray(coef)
+        if a.ndim == 0:
+            return np.full(cb.n_cells, float(a))
+        if a.ndim == 1 and a.shape[0] == cb.n_cells:
+            return a
+        if a.ndim == 2 and a.shape == (cb.n_cells, 1):
+            return a[:, 0]
+        if a.ndim == 2 and np.all(a == a[:, :1]):
+            return a[:, 0]
+        return None
+
+    mu_c = _cellwise(mu)
+    lam_c = _cellwise(lam)
+    if aff is not None and mu_c is not None and lam_c is not None:
+        # separated form (see affine_host): with per-cell-constant
+        # geometry AND coefficients, every elasticity term is
+        # (per-cell d^2 x d^2 metric) @ (reference tensor) — three
+        # GEMMs with M = c*d^2 instead of five big einsums
+        iJ, detJ = aff
+        c = iJ.shape[0]
+        nq, nl, d = np.asarray(cb.dphi).shape
+        S = cb._ref_tensor(
+            "_S_stiff4",
+            lambda: np.einsum(
+                "q,qik,qjl->klij",
+                np.asarray(cb.qw), np.asarray(cb.dphi),
+                np.asarray(cb.dphi),
+            ),
+        )  # (k, l, i, j)
+        S2 = S.reshape(d * d, nl * nl)
+        wm = (detJ * mu_c)[:, None, None]
+        wl = (detJ * lam_c)[:, None, None]
+        # t2 (grad.grad) term: metric C[k,l] contraction
+        C = np.matmul(iJ.transpose(0, 2, 1), iJ)  # (c, k, l)
+        t2 = (C.reshape(c, d * d) @ S2).reshape(c, nl, nl) * wm
+        # t1: E[(a,b),(k,l)] = iJ[b,k] iJ[a,l];  t3: iJ[a,k] iJ[b,l]
+        E1 = np.einsum("cbk,cal->cabkl", iJ, iJ).reshape(c * d * d, d * d)
+        E3 = np.einsum("cak,cbl->cabkl", iJ, iJ).reshape(c * d * d, d * d)
+        t1 = (E1 @ S2).reshape(c, d, d, nl, nl) * wm[..., None, None]
+        t3 = (E3 @ S2).reshape(c, d, d, nl, nl) * wl[..., None, None]
+        # assemble K[c, (i,a), (j,b)] from t1/t3 [c, a, b, i, j],
+        # plus the delta_ab grad.grad term on the component diagonal
+        K = (t1 + t3).transpose(0, 3, 1, 4, 2)
+        for a in range(d):
+            K[:, :, a, :, a] += t2
+        return np.ascontiguousarray(K).reshape(c, nl * d, nl * d)
     g = cb.grad_phys()  # (c, q, i, d)
     w = cb.wdetJ
     wmu = w * mu if jnp.ndim(mu) else w * mu
@@ -399,6 +452,21 @@ def local_divergence(
     psi: (nq, nlp) pressure basis at the SAME quadrature points. The
     saddle system is [[A, G], [G^T, 0]] (a = ... - p div v - q div u).
     """
+    aff = cb.affine_host()
+    if aff is not None and not _any_jax(psi):
+        iJ, detJ = aff  # (c, d, k), (c,)
+        nq, nl, d = np.asarray(cb.dphi).shape
+        nlp = psi.shape[-1]
+        T = np.einsum(
+            "q,qik,qj->kij", np.asarray(cb.qw), np.asarray(cb.dphi),
+            np.asarray(psi),
+        ).reshape(d, nl * nlp)  # tiny reference tensor
+        G = -(iJ.reshape(-1, d) @ T).reshape(len(detJ), d, nl, nlp) * detJ[
+            :, None, None, None
+        ]
+        return np.ascontiguousarray(G.transpose(0, 2, 1, 3)).reshape(
+            len(detJ), nl * d, nlp
+        )
     g = cb.grad_phys()  # (c, q, i, d)
     G = -xeinsum("cqia,qj,cq->ciaj", g, psi, cb.wdetJ)
     c, nl, d, nlp = G.shape

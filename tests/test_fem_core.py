@@ -364,3 +364,39 @@ class TestAffineFastPath:
             a, b = np.asarray(a), np.asarray(b)
             scale = max(np.abs(b).max(), 1e-300)
             assert np.abs(a - b).max() / scale < 1e-12
+
+    @pytest.mark.parametrize("dim", [2, 3])
+    def test_vector_kernels_match(self, dim):
+        m = (
+            meshmod.unit_square_mesh(5)
+            if dim == 2
+            else meshmod.unit_cube_mesh(3)
+        )
+        cb = assemble.cell_batch(m, 2)
+        cbj = self._einsum_cb(cb)
+        rng = np.random.default_rng(3)
+        nq = len(np.asarray(cb.qw))
+        # (c, nq) field constant across q — exercises the _cellwise
+        # collapse (the kernel contract is scalars or (c, nq) fields)
+        mu_c = np.repeat(
+            (rng.random(cb.n_cells) + 0.5)[:, None], nq, axis=1
+        )
+        psi = rng.standard_normal((nq, 3))
+        pairs = [
+            (
+                assemble.local_elasticity(cb, 1.3, 0.7),
+                assemble.local_elasticity(cbj, 1.3, 0.7),
+            ),
+            (  # per-cell coefficient arrays
+                assemble.local_elasticity(cb, mu_c, 2.0 * mu_c),
+                assemble.local_elasticity(cbj, mu_c, 2.0 * mu_c),
+            ),
+            (
+                assemble.local_divergence(cb, psi),
+                assemble.local_divergence(cbj, psi),
+            ),
+        ]
+        for a, b in pairs:
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(b).max(), 1e-300)
+            assert np.abs(a - b).max() / scale < 1e-12
