@@ -85,13 +85,17 @@ class LinearElasticitySolver:
         run_opts["_lattice32"] = scalar.maybe_block_lattice32(
             ctx, local_elasticity(cb, mu, lam)
         )
-        if space.ndof >= 20000:
-            from ..solvers.amg import rigid_body_modes
+        from ..solvers.amg import rigid_body_modes
 
-            # elasticity AMG needs rigid-body near-nullspace vectors
-            # and node-block aggregation to handle nu -> 1/2
-            run_opts["_amg_B"] = rigid_body_modes(space.dof_coords, space.ncomp)
-            run_opts["_amg_block"] = space.ncomp
+        # elasticity AMG needs rigid-body near-nullspace vectors and
+        # node-block aggregation to handle nu -> 1/2. Set at EVERY size:
+        # the round-5 TPU sweep caught sub-20k unstructured cases
+        # falling onto the Jacobi-CG small-system path, where
+        # near-incompressible conditioning is hopeless
+        # (le_exp_dumbbell_compact, 7k dofs: 73 s vs 1.3 s frozen CPU —
+        # dispatch routes block systems to AMG regardless of size).
+        run_opts["_amg_B"] = rigid_body_modes(space.dof_coords, space.ncomp)
+        run_opts["_amg_block"] = space.ncomp
 
         def build():
             K = local_elasticity(cb, mu, lam)

@@ -452,7 +452,9 @@ def _build_preconditioner(op, mask, pc: str, opts: Dict[str, Any]):
     from ..fem.assemble import constrained_diag
 
     if pc in _AMG_PC and (
-        op.ndof >= _AMG_MIN_DOFS or opts.get("_amg_matrix") is not None
+        op.ndof >= _AMG_MIN_DOFS
+        or opts.get("_amg_matrix") is not None
+        or opts.get("_amg_B") is not None
     ):
         try:
             # operator override: e.g. Helmholtz preconditions with the
@@ -678,7 +680,12 @@ def solve_linear(
     # SPD threshold (indefinite Helmholtz needs the shifted-Laplacian
     # preconditioner; plain Jacobi stalls)
     small_cut = _AMG_MIN_DOFS if symmetric else 8000
-    if not use_direct and op.ndof < small_cut:
+    if not use_direct and op.ndof < small_cut and opts.get("_amg_B") is None:
+        # block systems with a near-nullspace (elasticity) skip this
+        # plain-Jacobi branch at ANY size — near-incompressible
+        # conditioning makes unpreconditioned CG burn 10^4+ iterations
+        # (73 s at 7k dofs on TPU, round-5 sweep); they take the AMG
+        # path below instead
         # small systems: Jacobi through the globally shape-cached jit —
         # no AMG setup, no per-case compile
         x, iters, res, conv = _iterative(
