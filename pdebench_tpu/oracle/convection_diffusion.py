@@ -125,8 +125,14 @@ class ConvectionDiffusionSolver:
 
         if not transient:
             f_fn = symbolic.lambdify_spatial(src, dim)
+            from ..solvers.dispatch import _amg_min_dofs
+
             opts["_lattice32"] = scalar.maybe_lattice32(ctx, assemble_A())
-            if opts["_lattice32"] is None and space.ndof >= 20000:
+            # threshold matches dispatch's platform-aware AMG gate: if
+            # the solve CAN take AMG, the surrogate MUST exist (SA-AMG
+            # built on the raw nonsymmetric SUPG operator can yield a
+            # divergent V-cycle — the round-2 pathology)
+            if opts["_lattice32"] is None and space.ndof >= _amg_min_dofs():
                 # Unstructured steady route: SA-AMG built on the full
                 # nonsymmetric advection/SUPG operator can yield a
                 # divergent V-cycle (measured: convdiff_annulus_diag_supg

@@ -439,9 +439,29 @@ def krylov_method(opts: Dict[str, Any], symmetric: bool = True) -> str:
 
 
 # preconditioner names that map to the device AMG (the reference's
-# hypre/ilu roles); below this size Jacobi wins on setup cost
+# hypre/ilu roles); below _amg_min_dofs() Jacobi wins on setup cost
 _AMG_PC = ("hypre", "boomeramg", "gamg", "amg", "ml", "ilu", "sor")
 _AMG_MIN_DOFS = 20000
+
+
+def _amg_min_dofs() -> int:
+    """Platform-aware AMG size gate.
+
+    On the host CPU, plain-Jacobi Krylov beats AMG below ~20k dofs on
+    setup cost. On the (remote) TPU the economics flip well below
+    that: Jacobi-CG burns O(10^3) latency-bound device iterations
+    (poisson_periodic_trig, 16k dofs: 1.9 s warm in the r5 sweep)
+    where ~20 AMG-V-cycle iterations finish in O(0.1 s) and the host
+    AMG build lands in the excluded cold pass. Override with
+    PDEBENCH_TPU_AMG_MIN."""
+    env = os.environ.get("PDEBENCH_TPU_AMG_MIN")
+    if env:
+        return int(env)
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        plat = "cpu"
+    return 10000 if plat in ("tpu", "axon") else _AMG_MIN_DOFS
 
 
 def _build_preconditioner(op, mask, pc: str, opts: Dict[str, Any]):
@@ -452,7 +472,7 @@ def _build_preconditioner(op, mask, pc: str, opts: Dict[str, Any]):
     from ..fem.assemble import constrained_diag
 
     if pc in _AMG_PC and (
-        op.ndof >= _AMG_MIN_DOFS
+        op.ndof >= _amg_min_dofs()
         or opts.get("_amg_matrix") is not None
         or opts.get("_amg_B") is not None
     ):
@@ -679,7 +699,7 @@ def solve_linear(
     # nonsymmetric systems benefit from AMG + FGMRES-IR well below the
     # SPD threshold (indefinite Helmholtz needs the shifted-Laplacian
     # preconditioner; plain Jacobi stalls)
-    small_cut = _AMG_MIN_DOFS if symmetric else 8000
+    small_cut = _amg_min_dofs() if symmetric else 8000
     if not use_direct and op.ndof < small_cut and opts.get("_amg_B") is None:
         # block systems with a near-nullspace (elasticity) skip this
         # plain-Jacobi branch at ANY size — near-incompressible
