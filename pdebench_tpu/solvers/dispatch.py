@@ -457,11 +457,14 @@ def _amg_min_dofs() -> int:
     env = os.environ.get("PDEBENCH_TPU_AMG_MIN")
     if env:
         return int(env)
+    return 10000 if _device_platform() in ("tpu", "axon") else _AMG_MIN_DOFS
+
+
+def _device_platform() -> str:
     try:
-        plat = jax.devices()[0].platform
+        return jax.devices()[0].platform
     except Exception:
-        plat = "cpu"
-    return 10000 if plat in ("tpu", "axon") else _AMG_MIN_DOFS
+        return "cpu"
 
 
 def _build_preconditioner(op, mask, pc: str, opts: Dict[str, Any]):
@@ -691,10 +694,31 @@ def solve_linear(
         and not symmetric
         and lat32 is None
         and op.ndof <= 80000
-        and jax.devices()[0].platform not in ("tpu", "axon")
+        and _device_platform() not in ("tpu", "axon")
     ):
         use_direct = True
         info["cpu_main_direct"] = True
+
+    # TPU small-unstructured mains: below ~40k dofs the host SuperLU
+    # factorization (0.1-0.5 s) beats every device-iterative option —
+    # remote dispatch latency + gather-bound AMG V-cycles put the TPU
+    # AMG path at 0.8-2.8 s warm exec at 15-35k dofs (round-5 honest
+    # re-measure, BASELINE.md #29), exactly the reference CPU oracle's
+    # own small-case behavior (forced-direct precedent:
+    # reference pdebench/oracle/dealii_oracle/oracle.py:503-513).
+    # solve_linear is only called from STEADY solvers (poisson/CD/
+    # helmholtz/elasticity/darcy/biharmonic), so this never routes a
+    # per-step transient solve to the host. Structured lattices
+    # (lat32) keep the stencil path — it wins at every size.
+    if (
+        not use_direct
+        and lat32 is None
+        and op.ndof
+        < int(os.environ.get("PDEBENCH_TPU_HOST_DIRECT_MAX", "40000"))
+        and _device_platform() in ("tpu", "axon")
+    ):
+        use_direct = True
+        info["tpu_small_direct"] = True
 
     # nonsymmetric systems benefit from AMG + FGMRES-IR well below the
     # SPD threshold (indefinite Helmholtz needs the shifted-Laplacian

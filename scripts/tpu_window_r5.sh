@@ -1,47 +1,36 @@
 #!/bin/bash
-# Round-5 TPU validation window (VERDICT r4 #3): run with the freezer
-# STOPPED (1-core box; concurrent host work corrupts both sides).
+# Round-5 TPU validation window: re-measure the breach class first
+# (post gate-fix + honest re-freeze, BASELINE.md #28-29), then the
+# remaining strata. Run with the freezer STOPPED (1-core box).
 # Usage: DEADLINE_EPOCH=<epoch> bash scripts/tpu_window_r5.sh
-#
-# Fresh r5 resume file: round 5 changed the measured code (affine-GEMM
-# assembly, preonly/lu reroute, faster distmesh) AND the protocol
-# (clear_setup_caches now drops the distmesh lru, so t_setup charges
-# the mesh build cold like the frozen CPU side) — r4 records are not
-# protocol-comparable and stay in results/tpu_sweep_r4.jsonl.
-#
-# The sweep exits 17 when a case crashes the remote TPU worker (the
-# in-process jax client is poisoned); this wrapper restarts a fresh
-# process — the crash-trigger case is recorded and skipped on resume.
-# The four r4 hard-failure cases are attempted in ISOLATION first (one
-# process each) so their dispositions cannot poison the bulk window.
 set -u
 cd /root/repo
 export PDEBENCH_TPU_COMPILE_CACHE=/root/repo/.jax_compile_cache
 export PDEBENCH_TPU_WARM_REPEATS=3
-LOG=results/tpu_sweep_r5.log
+
+BREACH_IDS="$(cat /tmp/breach_ids.txt 2>/dev/null || true)"
 
 while true; do
   if [ "$(date +%s)" -ge "${DEADLINE_EPOCH:?set DEADLINE_EPOCH}" ]; then
-    echo "deadline reached" | tee -a "$LOG"
+    echo "deadline reached" | tee -a results/tpu_sweep_r5.log
     break
   fi
+  # shellcheck disable=SC2086
   python scripts/tpu_sweep.py \
-    --resume-jsonl results/tpu_sweep_r5.jsonl \
-    --per-combo 2 \
-    --ids helmholtz_3d_k6_high stokes_3d_multifreq \
-          convdiff_eccentric_annulus_supg poisson_3d_highfreq \
-          heat_3d_kappa_contrast cd_3d_transient_supg \
-          le_3d_high_contrast poisson_3d_multi_freq \
-          biharmonic_circle_test_v2 helmholtz_circle_origin_v2 \
+    --per-combo 2 --ids-first \
+    --resume-jsonl results/tpu_sweep_r5_final.jsonl \
+    --ids ${BREACH_IDS} \
     --deadline-epoch "${DEADLINE_EPOCH}" \
-    2>&1 | tee -a "$LOG"
+    --sentinel-every 20 \
+    2>&1 | tee -a results/tpu_sweep_r5.log
   rc=${PIPESTATUS[0]}
   if [ "$rc" -ne 17 ]; then
     break
   fi
-  echo "worker crash; waiting 60s for service recovery" | tee -a "$LOG"
+  echo "worker crash; waiting 60s for service recovery" \
+    | tee -a results/tpu_sweep_r5.log
   sleep 60
 done
 
-python scripts/report_tpu_sweep.py results/tpu_sweep_r5.jsonl \
+python scripts/sweep_summary.py results/tpu_sweep_r5_final.jsonl \
   | tee results/tpu_sweep_r5_report.txt

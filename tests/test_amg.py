@@ -88,3 +88,34 @@ def test_amg_elasticity_rigid_body_modes():
     M = setup_amg_masked(op.to_scipy(), mask, B=B, block_size=2)
     x, info = cg(A, rhs, M=M, rtol=1e-9, maxiter=2000)
     assert bool(info.converged), int(info.iterations)
+
+
+def test_tpu_small_direct_gate(monkeypatch):
+    """On TPU, steady unstructured systems below the size gate route to
+    the host SuperLU direct solve (reference small-case behavior:
+    dealii_oracle/oracle.py:503-513); on CPU the branch stays off.
+    Round-5 honest re-measure showed device AMG at 0.8-2.8 s warm exec
+    where the host factorization is 0.1-0.5 s at 15-35k dofs
+    (BASELINE.md #29)."""
+    from pdebench_tpu.solvers import dispatch
+
+    op, mask, b, space = _poisson_system(32)
+    g = jnp.zeros(op.ndof)
+    opts = {"ksp_type": "cg", "pc_type": "hypre", "rtol": 1e-10}
+
+    monkeypatch.setattr(dispatch, "_device_platform", lambda: "tpu")
+    x_tpu, info_tpu = dispatch.solve_linear(op, b, mask, g, dict(opts))
+    assert info_tpu.get("tpu_small_direct") is True
+
+    monkeypatch.setattr(dispatch, "_device_platform", lambda: "cpu")
+    x_cpu, info_cpu = dispatch.solve_linear(op, b, mask, g, dict(opts))
+    assert "tpu_small_direct" not in info_cpu
+    np.testing.assert_allclose(
+        np.asarray(x_tpu), np.asarray(x_cpu), atol=1e-8
+    )
+
+    # above the gate the TPU platform keeps the device-iterative path
+    monkeypatch.setattr(dispatch, "_device_platform", lambda: "tpu")
+    monkeypatch.setenv("PDEBENCH_TPU_HOST_DIRECT_MAX", "100")
+    _, info_big = dispatch.solve_linear(op, b, mask, g, dict(opts))
+    assert "tpu_small_direct" not in info_big
